@@ -1,0 +1,167 @@
+"""Kuramoto-Sivashinsky equation, Fourier-spectral ETDRK4.
+
+    u_t + u u_x + u_xx + u_xxxx = 0,   periodic on x in [0, 2*pi*L]
+
+Capability parity with /root/reference/equations/PDEs.py:527-836 (the
+Kassam-Trefethen SISC 2005 scheme): linear term exact in Fourier space,
+ETDRK4 coefficients computed by complex contour means (M=62 roots of unity),
+nonlinear term g = -0.5j*k applied to fft(real(ifft(v))^2).
+
+TPU-native differences:
+  * the scalar ETDRK4 coefficients are precomputed on host in f64 (cheap,
+    once) and the time stepping is a jit'ed ``lax.scan`` batched over
+    trajectories — the reference steps one trajectory at a time in Python
+    (generate_data.py:607-628);
+  * only the requested output snapshots are materialized (the reference
+    stores every fine step, 400k x nx per trajectory, then downsamples);
+  * divergence (NaN/Inf blow-up) is detected post-hoc per trajectory instead
+    of the FloatingPointError try/except (PDEs.py:729-738) — callers get a
+    per-trajectory validity mask.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class KSCoeffs:
+    """Precomputed ETDRK4 scalar fields (all shape [nx])."""
+
+    k: np.ndarray
+    E: np.ndarray
+    E2: np.ndarray
+    Q: np.ndarray
+    f1: np.ndarray
+    f2: np.ndarray
+    f3: np.ndarray
+    g: np.ndarray  # complex
+
+
+def etdrk4_setup(L: float, nx: int, dt: float, M: int = 62) -> KSCoeffs:
+    """Kassam-Trefethen coefficient setup (reference PDEs.py:615-641)."""
+    k = np.concatenate(
+        [np.arange(0, nx / 2), [0.0], np.arange(-nx / 2 + 1, 0)]
+    ) / L
+    lin = k**2 - k**4
+    E = np.exp(dt * lin)
+    E2 = np.exp(dt * lin / 2.0)
+    r = np.exp(1j * np.pi * (np.arange(1, M + 1) - 0.5) / M)
+    LR = dt * lin[:, None] + r[None, :]
+    Q = dt * np.real(np.mean((np.exp(LR / 2.0) - 1.0) / LR, 1))
+    f1 = dt * np.real(
+        np.mean((-4.0 - LR + np.exp(LR) * (4.0 - 3.0 * LR + LR**2)) / LR**3, 1)
+    )
+    f2 = dt * np.real(np.mean((2.0 + LR + np.exp(LR) * (-2.0 + LR)) / LR**3, 1))
+    f3 = dt * np.real(
+        np.mean((-4.0 - 3.0 * LR - LR**2 + np.exp(LR) * (4.0 - LR)) / LR**3, 1)
+    )
+    g = -0.5j * k
+    return KSCoeffs(k=k, E=E, E2=E2, Q=Q, f1=f1, f2=f2, f3=f3, g=g)
+
+
+@dataclasses.dataclass
+class KS:
+    """KS problem description (grid + solver parameters).
+
+    Mirrors the constructor surface of the reference KS class
+    (PDEs.py:543-598): domain [0, 2*pi*L], nx modes, fine step dt, horizon
+    [tstart, tend], coarse output step dt_downsampled.
+    """
+
+    L: float = 16.0
+    nx: int = 128
+    dt: float = 0.25
+    tend: float = 150.0
+    tstart: float = 0.0
+    dt_downsampled: float = 250.0
+
+    lmin: int = 1
+    lmax: int = 3
+    n_waves: int = 5
+
+    def __post_init__(self):
+        self.tmin = self.tstart
+        self.tmax = self.tend
+        horizon = self.tend - self.tstart
+        self.nsteps = int(horizon / self.dt)
+        self.nsteps_downsampled = int(horizon / self.dt_downsampled)
+        self.dx = 2 * np.pi * self.L / self.nx
+
+    def __repr__(self):
+        return "KS"
+
+    @property
+    def x(self) -> np.ndarray:
+        return 2 * np.pi * self.L * np.arange(self.nx) / self.nx
+
+    def testing_ic(self) -> np.ndarray:
+        """Kassam-Trefethen test IC (reference PDEs.py:651-653)."""
+        x = self.x
+        return np.cos(x / self.L) * (1.0 + np.sin(x / self.L))
+
+    def simulate(
+        self,
+        u0: jnp.ndarray,
+        save_steps: np.ndarray,
+        coeffs: Optional[KSCoeffs] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Integrate a batch of ICs, saving only the requested fine steps.
+
+        Args:
+            u0: [B, nx] real initial conditions.
+            save_steps: increasing array of fine-step indices to save
+                (0 = the IC itself). Must include all needed outputs.
+            coeffs: optional precomputed ETDRK4 coefficients.
+        Returns:
+            (u_saved [B, len(save_steps), nx] real,
+             valid [B] bool — False where the trajectory blew up).
+        """
+        c = coeffs or etdrk4_setup(self.L, self.nx, self.dt)
+        dtype = u0.dtype
+        cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        E = jnp.asarray(c.E, dtype)
+        E2 = jnp.asarray(c.E2, dtype)
+        Q = jnp.asarray(c.Q, dtype)
+        f1 = jnp.asarray(c.f1, dtype)
+        f2 = jnp.asarray(c.f2, dtype)
+        f3 = jnp.asarray(c.f3, dtype)
+        g = jnp.asarray(c.g, cdtype)
+
+        save_steps = np.asarray(save_steps)
+        assert (np.diff(save_steps) > 0).all()
+
+        def nonlin(v):
+            u = jnp.real(jnp.fft.ifft(v))
+            return g * jnp.fft.fft(u * u)
+
+        def step(v):
+            Nv = nonlin(v)
+            a = E2 * v + Q * Nv
+            Na = nonlin(a)
+            b = E2 * v + Q * Na
+            Nb = nonlin(b)
+            cc = E2 * a + Q * (2.0 * Nb - Nv)
+            Nc = nonlin(cc)
+            return E * v + Nv * f1 + 2.0 * (Na + Nb) * f2 + Nc * f3
+
+        v0 = jnp.fft.fft(u0.astype(dtype)).astype(cdtype)
+
+        # One compiled program: outer scan over save points, inner fori_loop
+        # advancing by the (dynamic) per-segment fine-step count.
+        seg_lens = jnp.asarray(
+            np.diff(np.concatenate([[0], save_steps])), jnp.int32
+        )
+
+        def seg_step(v, n):
+            v = jax.lax.fori_loop(0, n, lambda i, vv: step(vv), v)
+            return v, jnp.real(jnp.fft.ifft(v))
+
+        _, u_saved = jax.lax.scan(seg_step, v0, seg_lens)  # [n_save, B, nx]
+        u_saved = jnp.moveaxis(u_saved, 0, 1)
+        valid = jnp.isfinite(u_saved).all(axis=(1, 2))
+        return u_saved, valid

@@ -1,0 +1,282 @@
+"""Equation-layer tests, including direct parity oracles against the
+reference torch implementation (skipped when /root/reference is absent)."""
+import os
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from msmp_pde_tpu.equations import CE, AD, KF, WE, KS
+from msmp_pde_tpu.equations.we import cheb_grid_ascending, wave_interior_operator
+from msmp_pde_tpu.equations.ks import etdrk4_setup
+from msmp_pde_tpu.temporal import DOPRI45, solve_adaptive
+
+HAS_REF = os.path.isdir("/root/reference")
+ref_only = pytest.mark.skipif(not HAS_REF, reason="reference repo not mounted")
+
+
+def _import_ref():
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import equations.PDEs as ref_pdes  # noqa
+
+    return ref_pdes
+
+
+# ---------------------------------------------------------------- CE
+class TestCE:
+    def test_heat_equation_decay(self):
+        """alpha=gamma=0, beta=nu: sin(k x) decays at exp(-nu k^2 t)."""
+        nx, L = 256, 16.0
+        pde = CE(tmax=1.0, grid_size=(11, nx), L=L, alpha=0.0, beta=0.3, gamma=0.0)
+        x = np.linspace(0, L, nx)
+        k = 2 * np.pi * 2 / L
+        u0 = jnp.asarray(np.sin(k * x))[None, None, :]
+        ts = jnp.linspace(0.0, 1.0, 11)
+        traj = solve_adaptive(pde.make_rhs(), u0, ts, DOPRI45)
+        got = np.asarray(traj[0, -1, 0])
+        # dx quirk: the operator divides by dx = L/nx while the actual grid
+        # spacing is h = L/(nx-1); effective wavenumber k_eff = k * h/dx * ...
+        # decay rate scales by (h/dx)^2 = ((nx)/(nx-1))^-2... empirically the
+        # operator sees k_eff = k * nx/(nx-1).
+        k_eff = k * nx / (nx - 1)
+        want = np.exp(-0.3 * k_eff**2 * 1.0) * np.sin(k * x)
+        assert np.max(np.abs(got - want)) < 2e-3
+
+    @ref_only
+    def test_rhs_matches_reference(self):
+        import torch
+
+        ref_pdes = _import_ref()
+        nt, nx = 250, 100
+        rng = np.random.default_rng(1)
+        u = rng.normal(size=(4, 1, nx))
+
+        ref = ref_pdes.CE(0.0, 4.0, (nt, nx), alpha=2.0, beta=0.1, gamma=0.5)
+        want = ref.WENO_reconstruction(
+            torch.tensor(0.0), torch.tensor(u, dtype=torch.float64)
+        ).numpy()
+
+        pde = CE(tmax=4.0, grid_size=(nt, nx), alpha=2.0, beta=0.1, gamma=0.5)
+        got = np.asarray(pde.make_rhs()(0.0, jnp.asarray(u)))
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+    @ref_only
+    def test_adaptive_trajectory_matches_reference_solver(self):
+        import torch
+
+        ref_pdes = _import_ref()
+        sys.path.insert(0, "/root/reference")
+        from temporal.solvers import Solver, RKSolver
+        from temporal.tableaux import Dopri45
+
+        nt, nx = 16, 100
+        rng = np.random.default_rng(2)
+        u0 = 0.5 * np.sin(2 * np.pi * np.linspace(0, 1, nx)) + 0.1 * rng.normal(
+            size=nx
+        )
+
+        ref = ref_pdes.CE(0.0, 0.5, (nt, nx), alpha=1.0, beta=0.05, gamma=0.0)
+        t = torch.linspace(0.0, 0.5, nt)[None]
+        solver = Solver(RKSolver(Dopri45()), ref.WENO_reconstruction)
+        want = solver.solve(
+            torch.tensor(u0, dtype=torch.float64)[None, None], t
+        ).numpy()[:, :, 0]
+
+        pde = CE(tmax=0.5, grid_size=(nt, nx), alpha=1.0, beta=0.05, gamma=0.0)
+        ts = jnp.linspace(0.0, 0.5, nt)
+        got = np.asarray(
+            solve_adaptive(pde.make_rhs(), jnp.asarray(u0)[None, None], ts, DOPRI45)
+        )[:, :, 0]
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+# ---------------------------------------------------------------- AD
+class TestAD:
+    def test_exact_advection_shift(self):
+        """With R w = u, each characteristic field advects at speed 2a / 2b."""
+        nx, L = 200, 16.0
+        pde = AD(tmax=1.0, grid_size=(5, nx), L=L, a=0.5, b=1.5)
+        x = jnp.linspace(0, L, nx)
+
+        def u0_fn(pts):
+            pts = jnp.remainder(pts, L)
+            u1 = jnp.sin(2 * jnp.pi * pts / L)
+            u2 = jnp.cos(2 * jnp.pi * pts / L)
+            return jnp.stack([u1, u2])
+
+        t = jnp.linspace(0.0, 1.0, 5)
+        sol = np.asarray(pde.exact_solution(u0_fn, x, t))
+        assert sol.shape == (2, 5, nx)
+        np.testing.assert_allclose(
+            sol[:, 0], np.asarray(u0_fn(x)), atol=1e-12
+        )
+        # w = Rinv u advects exactly: w_i(x, t) = w_i(x - lam_i t, 0)
+        from msmp_pde_tpu.equations.ad import RINV
+
+        w_t = np.einsum("ij,jx->ix", RINV, sol[:, -1])
+        w_0 = np.asarray(u0_fn(x - 2 * 0.5 * 1.0))  # lam1 shift
+        w_0 = np.einsum("ij,jx->ix", RINV, w_0)
+        np.testing.assert_allclose(w_t[0], w_0[0], atol=1e-10)
+
+    @ref_only
+    def test_matches_reference_get_sol(self):
+        import torch
+
+        ref_pdes = _import_ref()
+        nx, nt, L = 64, 7, 16.0
+        ref = ref_pdes.AD(0.0, 1.0, (nt, nx), a=0.3, b=1.2)
+        x_t = torch.linspace(0, L, nx, dtype=torch.float64)
+        t_t = torch.linspace(0, 1.0, nt, dtype=torch.float64)
+
+        def u0_f(x):
+            # inside get_sol the shift x - lam*t arrives as [1, nx] because
+            # the speeds are [[a]] tensors; flatten to stay shape-robust.
+            x = torch.remainder(x.reshape(-1), L)
+            u1 = torch.sin(2 * np.pi * x / L)[None]
+            u2 = torch.cos(4 * np.pi * x / L)[None]
+            return torch.cat([u1, u2], 0).unsqueeze(1)
+
+        ref.a = torch.tensor([[0.3]])
+        ref.b = torch.tensor([[1.2]])
+        want = ref.get_sol(u0_f, x_t, t_t).numpy()[:, 0]  # [2, nt, nx]
+
+        pde = AD(tmax=1.0, grid_size=(nt, nx), L=L, a=0.3, b=1.2)
+
+        def u0_fn(pts):
+            pts = jnp.remainder(pts, L)
+            return jnp.stack(
+                [jnp.sin(2 * jnp.pi * pts / L), jnp.cos(4 * jnp.pi * pts / L)]
+            )
+
+        got = np.asarray(
+            pde.exact_solution(u0_fn, jnp.linspace(0, L, nx), jnp.linspace(0, 1, nt))
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+# ---------------------------------------------------------------- KF
+class TestKF:
+    def test_logistic_growth_uniform_field(self):
+        """Uniform field + diag-quirk Dirichlet: du/dt = D*diag*u + r u(1-u)."""
+        pde = KF(tmax=1.0, grid_size=(11, 50), L=16.0, r=1.3, D=1e-4)
+        rhs = pde.make_rhs()
+        u = jnp.full((1, 1, 50), 0.4)
+        got = np.asarray(rhs(0.0, u))
+        diag = (-49.0 / 18.0) / pde.dx**2
+        want = 1e-4 * diag * 0.4 + 1.3 * 0.4 * 0.6
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_periodic_rhs(self):
+        pde = KF(tmax=1.0, grid_size=(11, 64), L=16.0, r=0.7, D=0.01, bc="periodic")
+        rhs = pde.make_rhs()
+        x = np.linspace(0, 16.0, 64)
+        k = 2 * np.pi / 16.0
+        u = jnp.asarray(np.sin(k * x))[None, None]
+        got = np.asarray(rhs(0.0, u))[0, 0]
+        k_eff = k * 64 / 63
+        want = -0.01 * k_eff**2 * np.sin(k * x) + 0.7 * np.sin(k * x) * (
+            1 - np.sin(k * x)
+        )
+        assert np.max(np.abs(got - want)) < 1e-4
+
+
+# ---------------------------------------------------------------- KS
+class TestKS:
+    @ref_only
+    def test_etdrk4_coefficients_match_reference(self):
+        ref_pdes = _import_ref()
+        ref = ref_pdes.KS(L=22.0 / (2 * np.pi), nx=64, dt=0.025, tend=1.0,
+                          tstart=0.0, dt_downsampled=0.1)
+        c = etdrk4_setup(22.0 / (2 * np.pi), 64, 0.025)
+        np.testing.assert_allclose(c.E, ref.E, rtol=1e-12)
+        np.testing.assert_allclose(c.Q, ref.Q, rtol=1e-10)
+        np.testing.assert_allclose(c.f1, ref.f1, rtol=1e-10)
+        np.testing.assert_allclose(c.f2, ref.f2, rtol=1e-10)
+        np.testing.assert_allclose(c.f3, ref.f3, rtol=1e-10)
+        np.testing.assert_allclose(c.g, ref.g, rtol=1e-12)
+
+    @ref_only
+    def test_simulate_matches_reference_steps(self):
+        ref_pdes = _import_ref()
+        L, nx, dt = 22.0 / (2 * np.pi), 64, 0.025
+        ks_ref = ref_pdes.KS(L=L, nx=nx, dt=dt, tend=1.0, tstart=0.0,
+                             dt_downsampled=0.1)
+        ks = KS(L=L, nx=nx, dt=dt, tend=1.0, tstart=0.0, dt_downsampled=0.1)
+        u0 = ks.testing_ic()
+        ks_ref.IC(u0)
+        ks_ref.setup_timeseries()
+        for _ in range(10):
+            ks_ref.step()
+        want = np.real(np.fft.ifft(ks_ref.v))
+
+        got, valid = ks.simulate(jnp.asarray(u0)[None], np.array([10]))
+        assert bool(valid[0])
+        np.testing.assert_allclose(np.asarray(got)[0, 0], want, rtol=1e-9, atol=1e-11)
+
+
+# ---------------------------------------------------------------- WE
+class TestWE:
+    @ref_only
+    @pytest.mark.parametrize("bc", ["dirichlet", "neumann"])
+    def test_chebdx_matches_reference(self, bc):
+        ref_pdes = _import_ref()
+        n = 50
+        ref = ref_pdes.WE(0.0, 100.0, grid_size=(250, n), bc_left=bc, bc_right=bc)
+        x = cheb_grid_ascending(-8.0, 8.0, n)
+        rng = np.random.default_rng(3)
+        state = rng.normal(size=2 * n)
+        # interpolation caveat: the reference basis lives on the descending
+        # grid; for symmetric BCs the operator is mirror-equivalent.
+        want = ref.chebdx(0.0, state, x, c=2.0)
+
+        we = WE(tmax=100.0, grid_size=(250, n), bc_left=bc, bc_right=bc)
+        got = we.chebdx(0.0, state, x, c=2.0)
+        np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-7)
+
+    def test_propagator_vs_scipy_integration(self):
+        """Exact expm propagator vs tightly-tolerated scipy RK45 on the same
+        linear RHS."""
+        from scipy.integrate import solve_ivp
+
+        n = 40
+        we = WE(tmax=4.0, grid_size=(11, n))
+        x = we.x
+        u = np.exp(-((x - 1.0) ** 2))
+        v = -2 * 2.0 * (x - 1.0) * u
+        state0 = np.concatenate([u, v])
+
+        P = we.propagator(c=2.0)
+        states = [state0]
+        for _ in range(10):
+            states.append(P @ states[-1])
+        got = np.stack(states)
+
+        sol = solve_ivp(
+            we.chebdx,
+            [0, 4.0],
+            state0,
+            t_eval=np.linspace(0, 4.0, 11),
+            args=(x, 2.0),
+            method="RK45",
+            rtol=1e-10,
+            atol=1e-10,
+        )
+        want = sol.y.T
+        assert np.max(np.abs(got - want)) < 1e-6
+
+    def test_energy_conservation(self):
+        """Dirichlet wave: the propagator's spectral radius is 1 — a long
+        rollout must neither blow up nor decay."""
+        n = 100
+        we = WE(tmax=100.0, grid_size=(250, n))
+        x = we.x
+        u = np.exp(-(x**2))
+        v = -2 * 2.0 * x * u
+        state = np.concatenate([u, v])
+        P = we.propagator(c=2.0)
+        norm0 = np.linalg.norm(state)
+        for _ in range(249):
+            state = P @ state
+        assert 0.2 < np.linalg.norm(state) / norm0 < 5.0
