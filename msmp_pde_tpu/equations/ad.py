@@ -71,3 +71,33 @@ class AD(PDE):
         w = jnp.stack([w1, w2])  # [2, nt, nx]
         u = jnp.einsum("ij,jtx->itx", r, w)
         return u
+
+
+def exact_solution_batch(u0_batch_fn, x, t, a, b):
+    """Batched exact solution for per-sample ICs and speeds.
+
+    Args:
+        u0_batch_fn: pts [B, M] -> components [B, 2, M] (from datagen.ics).
+        x: grid [nx]; t: output times [nt]; a, b: speeds [B].
+    Returns:
+        [B, 2, nt, nx] solution.
+    """
+    a = jnp.asarray(a).reshape(-1)
+    b = jnp.asarray(b).reshape(-1)
+    lam = jnp.stack([2.0 * a, 2.0 * b], axis=1)  # [B, 2]
+    xs = (
+        x[None, None, None, :]
+        - lam[:, :, None, None] * t[None, None, :, None]
+    )  # [B, 2, nt, nx]
+    B, _, nt, nx = xs.shape
+    rinv = jnp.asarray(RINV, x.dtype)
+    r = jnp.asarray(R, x.dtype)
+
+    def w_component(i):
+        pts = xs[:, i].reshape(B, nt * nx)
+        u0 = u0_batch_fn(pts)  # [B, 2, M]
+        w = jnp.einsum("ij,bjm->bim", rinv, u0)
+        return w[:, i].reshape(B, nt, nx)
+
+    w = jnp.stack([w_component(0), w_component(1)], axis=1)
+    return jnp.einsum("ij,bjtx->bitx", r, w)
