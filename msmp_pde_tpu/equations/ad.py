@@ -26,7 +26,7 @@ R = np.array([[-1.0, 1.0], [1.0, 1.0]])
 RINV = np.array([[-0.5, 0.5], [0.5, 0.5]])
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(repr=False)
 class AD(PDE):
     a: float = 1.0
     b: float = 1.0

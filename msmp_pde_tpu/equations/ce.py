@@ -36,7 +36,7 @@ def flux(u: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * u * u
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(repr=False)
 class CE(PDE):
     alpha: float = 3.0
     beta: float = 0.0

@@ -29,7 +29,7 @@ from msmp_pde_tpu.ops import periodic_pad, fdm_second_derivative, correlate1d
 _D2_ORDER6 = np.array([1 / 90, -3 / 20, 3 / 2, -49 / 18, 3 / 2, -3 / 20, 1 / 90])
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(repr=False)
 class KF(PDE):
     r: float = 1.0
     D: float = 0.1

@@ -88,7 +88,7 @@ def wave_propagator(
     return scipy.linalg.expm(A * dt)
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(repr=False)
 class WE(PDE):
     tmax: float = 20.0
     xmin: float = -8.0
