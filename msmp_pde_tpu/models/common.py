@@ -146,7 +146,8 @@ def assemble_variables(t, eq_vars: dict, norms: dict, tmax: float):
     reference's fixed key order (models_gnn.py:250-266). ``beta`` arrives
     already negated (utils.py:392)."""
     cols = [t / tmax]
-    for name in ("alpha", "beta", "gamma", "bc_left", "bc_right", "c", "D", "r"):
+    for name in ("alpha", "beta", "gamma", "bc_left", "bc_right", "c", "D",
+                 "r", "a", "b"):
         if name in norms:
             v = eq_vars[name]
             if name == "beta":

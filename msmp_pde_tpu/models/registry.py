@@ -33,8 +33,11 @@ def get_model(
     common = dict(tw=tw, layers=n_layers, L=L, tmax=tmax, dt=dt)
     g1 = dict(common, n_components=1)
     g2 = dict(common, n_components=2)
+    # FNO param variants consume alpha/beta/gamma/D/r in 1D
+    # (models_fno.py:170-183) and a/b in 2D (models_fno2D.py:169-176).
     fno_vars = tuple(
-        v for v in eq_var_names if v in ("alpha", "beta", "gamma", "D", "r")
+        v for v in eq_var_names
+        if v in ("alpha", "beta", "gamma", "D", "r", "a", "b")
     )
 
     graph = {

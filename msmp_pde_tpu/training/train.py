@@ -1,0 +1,173 @@
+"""Training CLI.
+
+Capability parity with /root/reference/experiments/train.py:
+
+    python -m msmp_pde_tpu.training.train --experiment=E1 --model=MSMP-PDE \
+        --time_window=25 [--base_resolution=250,100 ...]
+
+Flow (train.py:296-448): load datasets, build the (static) graph, construct
+the model, AdamW + MultiStepLR, then per epoch: t_res shuffled passes with
+the pushforward trick, validation (one-step + unrolled losses), and on
+validation improvement: test losses, space-time L2 norms, and a best-val
+checkpoint (orbax; includes optimizer state for resume — a superset of the
+reference's params-only torch.save).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from datetime import datetime
+
+import numpy as np
+
+
+def main(args):
+    import jax
+
+    if args.platform != "default":
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from msmp_pde_tpu.training import metrics
+    from msmp_pde_tpu.training.loop import train_epoch
+    from msmp_pde_tpu.training.setup import setup_experiment
+    from msmp_pde_tpu.utils.checkpoint import save_checkpoint
+
+    os.makedirs("models", exist_ok=True)
+    os.makedirs("experiments/log", exist_ok=True)
+
+    exp = setup_experiment(args)
+    trainer = exp.trainer
+    t_res = exp.t_res
+    nx_base = args.base_resolution[1]
+
+    d = datetime.now()
+    timestring = f"{d.month}{d.day}{d.hour}{d.minute}"
+    run_name = (
+        f"{args.model}_{exp.pde}_{args.experiment}"
+        f"_xresolution{args.base_resolution[1]}-{args.super_resolution[1]}"
+        f"_n{args.neighbors}_tw{args.time_window}_unrolling{args.unrolling}"
+        f"_time{timestring}"
+    )
+    if args.log:
+        logfile = f"experiments/log/{run_name}.csv"
+        print(f"Writing to log file {logfile}")
+        sys.stdout = open(logfile, "w")
+    save_path = f"models/{run_name}"
+    print(f"Training on dataset data/{exp.pde}_train_{args.experiment}.h5")
+    print(save_path)
+
+    # device-resident data
+    def to_device(ds):
+        u = jnp.asarray(ds.u_super)
+        ub = jnp.asarray(ds.u_base)
+        var = {k: jnp.asarray(v.astype(np.float32))
+               for k, v in ds.variables.items()}
+        return u, ub, var
+
+    u_train, _, var_train = to_device(exp.datasets["train"])
+    u_valid, ub_valid, var_valid = to_device(exp.datasets["valid"])
+    u_test, ub_test, var_test = to_device(exp.datasets["test"])
+
+    key = jax.random.PRNGKey(args.seed)
+    params = trainer.init_params(key, batch_size=args.batch_size)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"Number of parameters: {n_params}")
+
+    n_batches = max(1, len(exp.datasets["train"]) // args.batch_size)
+    tx = trainer.make_optimizer(
+        args.lr, args.lr_decay,
+        milestones=[args.unrolling, 5, 10, 15],
+        steps_per_epoch=t_res * n_batches,
+    )
+    opt_state = tx.init(params)
+    rng = np.random.default_rng(args.seed)
+
+    min_val_loss = 1e30
+    test_loss = 1e30
+    results = {}
+    for epoch in range(args.num_epochs):
+        print(f"Epoch {epoch}")
+        params, opt_state, train_loss = train_epoch(
+            trainer, tx, params, opt_state, u_train, var_train, epoch,
+            args.batch_size, t_res, args.unrolling, rng,
+            print_interval=args.print_interval,
+        )
+        print("Evaluation on validation dataset:")
+        metrics.test_timestep_losses(
+            trainer, params, u_valid, var_valid, args.batch_size, t_res
+        )
+        val_loss, _ = metrics.test_unrolled_losses(
+            trainer, params, u_valid, ub_valid, var_valid, args.batch_size,
+            args.nr_gt_steps, t_res, nx_base,
+        )
+        if val_loss < min_val_loss:
+            print("Evaluation on test dataset:")
+            metrics.test_timestep_losses(
+                trainer, params, u_test, var_test, args.batch_size, t_res
+            )
+            test_loss, _ = metrics.test_unrolled_losses(
+                trainer, params, u_test, ub_test, var_test, args.batch_size,
+                args.nr_gt_steps, t_res, nx_base,
+            )
+            print("**Dimensionless L2 errors**")
+            print("*Valid*")
+            results["valid_L2"], results["valid_rel_L2"] = metrics.compute_l2_norms(
+                trainer, params, u_valid, var_valid, args.batch_size,
+                args.nr_gt_steps, t_res,
+            )
+            print("*Test*")
+            results["test_L2"], results["test_rel_L2"] = metrics.compute_l2_norms(
+                trainer, params, u_test, var_test, args.batch_size,
+                args.nr_gt_steps, t_res,
+            )
+            save_checkpoint(save_path, params, opt_state, epoch)
+            print(f"Saved model at {save_path}\n")
+            min_val_loss = val_loss
+
+    print(f"Min Val loss: {min_val_loss}")
+    print(f"Test loss: {test_loss}")
+    print("**Dimensionless L2 errors**")
+    print(f"Min Val L2 Error: {results.get('valid_L2')}")
+    print(f"Min Relative Val L2 Error: {100 * results.get('valid_rel_L2', 0)} %")
+    print(f"Test L2 Error: {results.get('test_L2')}")
+    print(f"Relative Test L2 Error: {100 * results.get('test_rel_L2', 0)} %")
+    return results
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Train a neural PDE solver")
+    p.add_argument("--experiment", type=str, default="")
+    p.add_argument("--model", type=str, default="MP-PDE")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_epochs", type=int, default=20)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_decay", type=float, default=0.4)
+    p.add_argument("--parameter_ablation", type=eval, default=False)
+    p.add_argument(
+        "--base_resolution",
+        type=lambda s: [int(i) for i in s.split(",")], default=[250, 100],
+    )
+    p.add_argument(
+        "--super_resolution",
+        type=lambda s: [int(i) for i in s.split(",")], default=[250, 200],
+    )
+    p.add_argument("--neighbors", type=int, default=3)
+    p.add_argument("--time_window", type=int, default=25)
+    p.add_argument("--unrolling", type=int, default=1)
+    p.add_argument("--nr_gt_steps", type=int, default=2)
+    p.add_argument("--n_graph_layers", type=int, default=6)
+    p.add_argument("--print_interval", type=int, default=20)
+    p.add_argument("--log", type=eval, default=False)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", type=str, default="default",
+                   choices=["cpu", "tpu", "default"])
+    return p
+
+
+if __name__ == "__main__":
+    ts = time.time()
+    main(build_parser().parse_args())
+    print(f"Elapsed Time : {time.time() - ts}")
