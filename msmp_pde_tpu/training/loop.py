@@ -224,6 +224,7 @@ def train_epoch(
     (train.py:233-244 + train_helper.py:89-147)."""
     tw = trainer.tw
     n = int(u_all.shape[0])
+    batch_size = min(batch_size, n)
     n_batches = max(1, n // batch_size)
     max_unrolling = min(epoch, unrolling)
     unroll_choices = list(range(max_unrolling + 1))

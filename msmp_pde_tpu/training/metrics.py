@@ -27,8 +27,8 @@ from msmp_pde_tpu.training.loop import Trainer
 
 
 def _batches(n, batch_size):
-    for s in range(0, n - batch_size + 1, batch_size):
-        yield np.arange(s, s + batch_size)
+    for s in range(0, n, batch_size):
+        yield np.arange(s, min(s + batch_size, n))
 
 
 def test_timestep_losses(trainer: Trainer, params, u_all, var_all,
@@ -119,6 +119,108 @@ def test_unrolled_losses(trainer: Trainer, params, u_all, u_base_all, var_all,
     log(f"Unrolled forward losses {mean_loss}")
     log(f"Unrolled forward base losses {mean_base}")
     return mean_loss, mean_base
+
+
+def rollout_store(trainer: Trainer, params, u_all, var_all, batch_size: int,
+                  nr_gt_steps: int, t_res: int, n_more_rollout: int = 0):
+    """Stacked rollout predictions/targets for plotting and long-horizon
+    evaluation (eval.py:502-575). Beyond the data horizon the model keeps
+    feeding its own prediction back with the window frozen at the last time
+    feature; targets there are zeros.
+
+    Returns (preds, trues) as numpy [N, T_total, d, nx] with
+    T_total = rollout steps * tw + n_more_rollout * tw.
+    """
+    tw, d = trainer.tw, trainer.d
+    n = int(u_all.shape[0])
+
+    @jax.jit
+    def one(params, u_traj, variables):
+        preds, labs = _rollout_collect(trainer, params, u_traj, variables,
+                                       nr_gt_steps, t_res)
+        extra = []
+        if n_more_rollout > 0:
+            pred = preds[-1]
+            B = u_traj.shape[0]
+            last_step = jnp.full(
+                (B,), t_res - tw, jnp.int32
+            )
+            window = pred  # graph.x = pred (eval.py:565-567)
+            for _ in range(n_more_rollout):
+                pred, _ = trainer.forward(params, window, last_step, variables)
+                extra.append(pred)
+                window = pred
+        S = len(extra)
+
+        def rearr(stack):
+            s, B, nx, _ = stack.shape
+            a = stack.reshape(s, B, nx, d, tw)
+            return jnp.transpose(a, (1, 0, 4, 3, 2)).reshape(B, s * tw, d, nx)
+
+        p = rearr(preds)
+        t = rearr(labs)
+        if extra:
+            e = rearr(jnp.stack(extra))
+            p = jnp.concatenate([p, e], axis=1)
+            t = jnp.concatenate([t, jnp.zeros_like(e)], axis=1)
+        return p, t
+
+    ps, ts = [], []
+    for idx in _batches(n, batch_size):
+        jidx = jnp.asarray(idx)
+        u_traj = jnp.take(u_all, jidx, axis=0)
+        variables = {k: jnp.take(v, jidx) for k, v in var_all.items()}
+        p, t = one(params, u_traj, variables)
+        ps.append(np.asarray(p))
+        ts.append(np.asarray(t))
+    return np.concatenate(ps), np.concatenate(ts)
+
+
+def compute_space_l2_norms(preds: np.ndarray, trues: np.ndarray, log=print):
+    """Per-timestep L2 / relative L2 curves (train_helper.py:330-360);
+    inputs [N, T, d, nx], returns ([T], [T])."""
+    sq_err = np.sum((preds - trues) ** 2, axis=2)  # [N, T, nx]
+    sq_norm = np.sum(trues**2, axis=2)
+    l = np.sqrt(np.mean(sq_err, axis=2))  # [N, T]
+    m = np.sqrt(np.mean(sq_norm, axis=2))
+    l = l.mean(axis=0)
+    m = m.mean(axis=0)
+    return l, l / m
+
+
+def compute_l2_norms_u(trainer: Trainer, params, u_uniform, var_all,
+                       u_unstructured, x_uniform, x_unstructured,
+                       batch_size: int, nr_gt_steps: int, t_res: int,
+                       log=print):
+    """RPU apples-to-apples metric (eval_interpolated.py:27-146): roll out a
+    model on the *uniform-grid* (interpolated) dataset, interpolate each
+    prediction back onto the unstructured grid and measure against the
+    unstructured ground truth."""
+    from msmp_pde_tpu.ops.interp import interp1d
+
+    preds, _ = rollout_store(trainer, params, u_uniform, var_all, batch_size,
+                             nr_gt_steps, t_res)
+    # targets from the unstructured data, same window layout
+    tw, d = trainer.tw, trainer.d
+    n, T = preds.shape[0], preds.shape[1]
+    start = tw * nr_gt_steps
+    trues = np.asarray(u_unstructured)[:, start : start + T]  # [N, T, d, nx]
+    xu = jnp.asarray(x_uniform)
+    xr = jnp.asarray(x_unstructured)
+    flat = jnp.asarray(preds.reshape(-1, preds.shape[-1]))
+    onto = interp1d(
+        jnp.broadcast_to(xu[None], flat.shape),
+        flat,
+        jnp.broadcast_to(xr[None], flat.shape),
+    )
+    preds_u = np.asarray(onto).reshape(preds.shape)
+    sq_err = np.sum((preds_u - trues) ** 2, axis=2)
+    sq_norm = np.sum(trues**2, axis=2)
+    l = np.sqrt(np.mean(sq_err, axis=(1, 2))).mean()
+    m = np.sqrt(np.mean(sq_norm, axis=(1, 2))).mean()
+    log(f"L2 error {l}")
+    log(f"L2 relative error {100 * l / m} %")
+    return float(l), float(l / m)
 
 
 def compute_l2_norms(trainer: Trainer, params, u_all, var_all,

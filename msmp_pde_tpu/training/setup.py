@@ -98,9 +98,13 @@ def setup_experiment(args, modes=("train", "valid", "test"),
         args.experiment, getattr(args, "parameter_ablation", False)
     )
     fam = data_family(args.experiment)
+    suffix = getattr(args, "data_suffix", "")
+    if suffix:
+        # training on the interpolated (_I) uniform-grid datasets
+        pde.unstructured_grid = False
     datasets = {
         m: PDEDataset(
-            f"{data_dir}/{fam}_{args.experiment}.h5", pde, m,
+            f"{data_dir}/{fam}_{args.experiment}{suffix}.h5", pde, m,
             base_resolution=tuple(args.base_resolution),
             super_resolution=tuple(args.super_resolution),
         )

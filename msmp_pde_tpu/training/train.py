@@ -11,6 +11,8 @@ the pushforward trick, validation (one-step + unrolled losses), and on
 validation improvement: test losses, space-time L2 norms, and a best-val
 checkpoint (orbax; includes optimizer state for resume — a superset of the
 reference's params-only torch.save).
+
+The ``fit`` function is shared with the cross-validation CLI (cv.py).
 """
 from __future__ import annotations
 
@@ -23,60 +25,37 @@ from datetime import datetime
 import numpy as np
 
 
-def main(args):
-    import jax
+def device_arrays(ds):
+    import jax.numpy as jnp
 
-    if args.platform != "default":
-        jax.config.update("jax_platforms", args.platform)
+    u = jnp.asarray(ds.u_super)
+    ub = jnp.asarray(ds.u_base)
+    var = {k: jnp.asarray(v.astype(np.float32)) for k, v in ds.variables.items()}
+    return u, ub, var
+
+
+def fit(args, exp, data, save_path: str):
+    """The epoch loop; ``data`` maps mode -> (u_super, u_base, variables)."""
+    import jax
     import jax.numpy as jnp
 
     from msmp_pde_tpu.training import metrics
     from msmp_pde_tpu.training.loop import train_epoch
-    from msmp_pde_tpu.training.setup import setup_experiment
     from msmp_pde_tpu.utils.checkpoint import save_checkpoint
 
-    os.makedirs("models", exist_ok=True)
-    os.makedirs("experiments/log", exist_ok=True)
-
-    exp = setup_experiment(args)
     trainer = exp.trainer
     t_res = exp.t_res
     nx_base = args.base_resolution[1]
-
-    d = datetime.now()
-    timestring = f"{d.month}{d.day}{d.hour}{d.minute}"
-    run_name = (
-        f"{args.model}_{exp.pde}_{args.experiment}"
-        f"_xresolution{args.base_resolution[1]}-{args.super_resolution[1]}"
-        f"_n{args.neighbors}_tw{args.time_window}_unrolling{args.unrolling}"
-        f"_time{timestring}"
-    )
-    if args.log:
-        logfile = f"experiments/log/{run_name}.csv"
-        print(f"Writing to log file {logfile}")
-        sys.stdout = open(logfile, "w")
-    save_path = f"models/{run_name}"
-    print(f"Training on dataset data/{exp.pde}_train_{args.experiment}.h5")
-    print(save_path)
-
-    # device-resident data
-    def to_device(ds):
-        u = jnp.asarray(ds.u_super)
-        ub = jnp.asarray(ds.u_base)
-        var = {k: jnp.asarray(v.astype(np.float32))
-               for k, v in ds.variables.items()}
-        return u, ub, var
-
-    u_train, _, var_train = to_device(exp.datasets["train"])
-    u_valid, ub_valid, var_valid = to_device(exp.datasets["valid"])
-    u_test, ub_test, var_test = to_device(exp.datasets["test"])
+    u_train, _, var_train = data["train"]
+    u_valid, ub_valid, var_valid = data["valid"]
+    u_test, ub_test, var_test = data["test"]
 
     key = jax.random.PRNGKey(args.seed)
     params = trainer.init_params(key, batch_size=args.batch_size)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"Number of parameters: {n_params}")
 
-    n_batches = max(1, len(exp.datasets["train"]) // args.batch_size)
+    n_batches = max(1, int(u_train.shape[0]) // args.batch_size)
     tx = trainer.make_optimizer(
         args.lr, args.lr_decay,
         milestones=[args.unrolling, 5, 10, 15],
@@ -90,7 +69,7 @@ def main(args):
     results = {}
     for epoch in range(args.num_epochs):
         print(f"Epoch {epoch}")
-        params, opt_state, train_loss = train_epoch(
+        params, opt_state, _ = train_epoch(
             trainer, tx, params, opt_state, u_train, var_train, epoch,
             args.batch_size, t_res, args.unrolling, rng,
             print_interval=args.print_interval,
@@ -134,7 +113,42 @@ def main(args):
     print(f"Min Relative Val L2 Error: {100 * results.get('valid_rel_L2', 0)} %")
     print(f"Test L2 Error: {results.get('test_L2')}")
     print(f"Relative Test L2 Error: {100 * results.get('test_rel_L2', 0)} %")
+    results["min_val_loss"] = min_val_loss
+    results["test_loss"] = test_loss
     return results
+
+
+def main(args):
+    import jax
+
+    if args.platform != "default":
+        jax.config.update("jax_platforms", args.platform)
+
+    from msmp_pde_tpu.training.setup import setup_experiment
+
+    os.makedirs("models", exist_ok=True)
+    os.makedirs("experiments/log", exist_ok=True)
+
+    exp = setup_experiment(args)
+
+    d = datetime.now()
+    timestring = f"{d.month}{d.day}{d.hour}{d.minute}"
+    run_name = (
+        f"{args.model}_{exp.pde}_{args.experiment}"
+        f"_xresolution{args.base_resolution[1]}-{args.super_resolution[1]}"
+        f"_n{args.neighbors}_tw{args.time_window}_unrolling{args.unrolling}"
+        f"_time{timestring}"
+    )
+    if args.log:
+        logfile = f"experiments/log/{run_name}.csv"
+        print(f"Writing to log file {logfile}")
+        sys.stdout = open(logfile, "w")
+    save_path = f"models/{run_name}"
+    print(f"Training on dataset data/{exp.pde}_train_{args.experiment}.h5")
+    print(save_path)
+
+    data = {m: device_arrays(exp.datasets[m]) for m in ("train", "valid", "test")}
+    return fit(args, exp, data, save_path)
 
 
 def build_parser():
@@ -164,6 +178,9 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default="default",
                    choices=["cpu", "tpu", "default"])
+    p.add_argument("--data_suffix", type=str, default="",
+                   help="dataset filename suffix, e.g. '_I' for the "
+                        "interpolated RPU files")
     return p
 
 
