@@ -219,9 +219,12 @@ def train_epoch(
     rng: np.random.Generator,
     print_interval: int = 20,
     log=print,
+    profile_dir: Optional[str] = None,
 ):
     """One reference epoch: t_res passes over the shuffled loader
-    (train.py:233-244 + train_helper.py:89-147)."""
+    (train.py:233-244 + train_helper.py:89-147). With ``profile_dir`` the
+    first pass is captured with jax.profiler (the reference only has
+    wall-clock prints — SURVEY.md §5)."""
     tw = trainer.tw
     n = int(u_all.shape[0])
     batch_size = min(batch_size, n)
@@ -231,6 +234,11 @@ def train_epoch(
 
     losses = []
     for i in range(t_res):
+        if profile_dir and i == 1:
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir and i == 2:
+            jax.profiler.stop_trace()
+            log(f"Profiler trace written to {profile_dir}")
         perm = rng.permutation(n)[: n_batches * batch_size]
         perm = perm.reshape(n_batches, batch_size)
         for b in range(n_batches):

@@ -73,6 +73,7 @@ def fit(args, exp, data, save_path: str):
             trainer, tx, params, opt_state, u_train, var_train, epoch,
             args.batch_size, t_res, args.unrolling, rng,
             print_interval=args.print_interval,
+            profile_dir=(args.profile if epoch == 0 else None),
         )
         print("Evaluation on validation dataset:")
         metrics.test_timestep_losses(
@@ -178,6 +179,8 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default="default",
                    choices=["cpu", "tpu", "default"])
+    p.add_argument("--profile", type=str, default=None,
+                   help="directory for a jax.profiler trace of one pass")
     p.add_argument("--data_suffix", type=str, default="",
                    help="dataset filename suffix, e.g. '_I' for the "
                         "interpolated RPU files")
