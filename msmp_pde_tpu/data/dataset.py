@@ -33,7 +33,14 @@ import numpy as np
 
 
 def _avg_downproject(u: np.ndarray, ratio_nx: int, pad: str) -> np.ndarray:
-    """5-tap [0.2]*5 stride-``ratio_nx`` averaging along the last axis."""
+    """5-tap [0.2]*5 stride-``ratio_nx`` averaging along the last axis.
+
+    Uses the threaded native library (utils/native.py) when built; the numpy
+    fallback below is bit-identical."""
+    from msmp_pde_tpu.utils import native
+
+    if native.available():
+        return native.avg_downproject(u, ratio_nx, pad)
     if pad == "periodic":
         left = u[..., -3:-1]
         right = u[..., 1:3]
@@ -53,6 +60,10 @@ def _avg_downproject(u: np.ndarray, ratio_nx: int, pad: str) -> np.ndarray:
 
 def _mean_downproject(u: np.ndarray, ratio_nx: int) -> np.ndarray:
     """ratio-wide mean kernel, stride ratio, valid (WE; utils.py:224-230)."""
+    from msmp_pde_tpu.utils import native
+
+    if native.available():
+        return native.mean_downproject(u, ratio_nx)
     n_out = u.shape[-1] // ratio_nx
     idx = np.arange(n_out) * ratio_nx
     out = np.zeros(u.shape[:-1] + (n_out,), dtype=u.dtype)
