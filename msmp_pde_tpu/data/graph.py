@@ -76,6 +76,34 @@ def build_neighbors_knn(points: np.ndarray, k: int):
     return idx, mask
 
 
+def add_random_edges(idx: np.ndarray, mask: np.ndarray, p: float,
+                     rng: np.random.Generator):
+    """Erdos-Renyi random-edge augmentation (utils.py:369-373, disabled at
+    p=0 in the reference). Extends the padded neighbor lists by the sampled
+    extra in-edges per node."""
+    nx_nodes = idx.shape[0]
+    extra = [[] for _ in range(nx_nodes)]
+    for i in range(nx_nodes):
+        draws = np.where(rng.random(nx_nodes) < p)[0]
+        for j in draws:
+            if j != i and j not in idx[i][mask[i] > 0]:
+                extra[i].append(j)
+    k_extra = max((len(e) for e in extra), default=0)
+    if k_extra == 0:
+        return idx, mask
+    K = idx.shape[1] + k_extra
+    idx2 = np.zeros((nx_nodes, K), np.int32)
+    mask2 = np.zeros((nx_nodes, K), np.float32)
+    idx2[:, : idx.shape[1]] = idx
+    mask2[:, : idx.shape[1]] = mask
+    for i, e in enumerate(extra):
+        base = int(mask[i].sum())
+        for m, j in enumerate(e):
+            idx2[i, idx.shape[1] + m] = j
+            mask2[i, idx.shape[1] + m] = 1.0
+    return idx2, mask2
+
+
 def cylindrical_coords(x: np.ndarray) -> np.ndarray:
     """Periodic embedding used for unstructured grids (utils.py:342-346)."""
     theta = 2 * np.pi * x / (x.max() - 1e-3)
@@ -102,12 +130,16 @@ class GraphSpec:
         return self.x.shape[0]
 
 
-def build_graph_spec(pde, dataset, n_neighbors: int, time_window: int) -> GraphSpec:
+def build_graph_spec(pde, dataset, n_neighbors: int, time_window: int,
+                     random_edge_prob: float = 0.0,
+                     rng: Optional[np.random.Generator] = None) -> GraphSpec:
     """Build the static graph for a (task, resolution) pair.
 
     Mirrors GraphCreator.create_graph's edge_index branches
     (utils.py:364-380): radius stencil for periodic families, k-NN for WE
     and for unstructured AD (on cylindrical coordinates).
+    ``random_edge_prob`` adds Erdos-Renyi random edges like the (disabled,
+    p=0) augmentation at utils.py:369-373.
     """
     family = f"{pde}"
     x = np.asarray(dataset.x, np.float64)
@@ -117,6 +149,9 @@ def build_graph_spec(pde, dataset, n_neighbors: int, time_window: int) -> GraphS
         idx, mask = build_neighbors_knn(cylindrical_coords(x), n_neighbors)
     else:
         idx, mask = build_neighbors_radius(x, n_neighbors)
+    if random_edge_prob > 0.0:
+        idx, mask = add_random_edges(idx, mask, random_edge_prob,
+                                     rng or np.random.default_rng(0))
     t_grid = np.linspace(dataset.tmin, dataset.tmax, dataset.nt)
     return GraphSpec(
         idx=jnp.asarray(idx),

@@ -165,3 +165,35 @@ class KS:
         u_saved = jnp.moveaxis(u_saved, 0, 1)
         valid = jnp.isfinite(u_saved).all(axis=(1, 2))
         return u_saved, valid
+
+    # ---------------------------------------------------- diagnostics
+    def energy_spectrum(self, u: jnp.ndarray):
+        """Kinetic-energy diagnostics (reference PDEs.py:773-804).
+
+        u: [T, nx] (or [B, T, nx]) physical-space snapshots.
+        Returns dict with
+          Ek_kt  — energy per wavenumber and time  0.5 |v|^2 / nx * dx,
+          Ek_k   — time-averaged spectrum,
+          Ek_t   — total energy over time,
+          Ek_tt  — time-cumulative average of Ek_t.
+        """
+        v = jnp.fft.fft(u)
+        Ek_kt = 0.5 * jnp.real(jnp.conj(v) * v / self.nx) * self.dx
+        T = u.shape[-2]
+        counts = jnp.arange(1, T + 1, dtype=u.dtype)
+        Ek_k = jnp.sum(Ek_kt, axis=-2) / T
+        Ek_t = jnp.sum(Ek_kt, axis=-1)
+        Ek_tt = jnp.cumsum(Ek_t, axis=-1) / counts
+        return {"Ek_kt": Ek_kt, "Ek_k": Ek_k, "Ek_t": Ek_t, "Ek_tt": Ek_tt}
+
+    def space_filter(self, u: jnp.ndarray, k_cut: float = 2.0):
+        """Low-pass spatial filter + residual (reference PDEs.py:807-817):
+        zero all wavenumbers |k| >= k_cut; returns (u_filtered, u_residual)."""
+        k = jnp.asarray(
+            np.concatenate([np.arange(0, self.nx / 2), [0.0],
+                            np.arange(-self.nx / 2 + 1, 0)]) / self.L
+        )
+        v = jnp.fft.fft(u)
+        v_filt = jnp.where(jnp.abs(k) >= k_cut, 0.0, v)
+        u_filt = jnp.real(jnp.fft.ifft(v_filt))
+        return u_filt, u - u_filt

@@ -34,8 +34,10 @@ import jax.numpy as jnp
 from msmp_pde_tpu.temporal.tableaux import Tableau
 
 
-def erk_step(tab: Tableau, f: Callable, t, y, h):
-    """One explicit RK step; returns (y_hi, y_lo). y_lo is None if not adaptive."""
+def erk_step(tab: Tableau, f: Callable, t, y, h, conserve: bool = False):
+    """One explicit RK step; returns (y_hi, y_lo). y_lo is None if not
+    adaptive. ``conserve`` subtracts the stage-mean before combination
+    (mean-conservation option, reference temporal/solvers.py:192-193)."""
     dtype = y.dtype
     a = jnp.asarray(tab.a, dtype)
     b = jnp.asarray(tab.b, dtype)
@@ -55,6 +57,12 @@ def erk_step(tab: Tableau, f: Callable, t, y, h):
             yi = y + h * acc
         ks.append(f(ti, yi))
 
+    if conserve:
+        # the reference subtracts the mean over the second-to-last axis of
+        # the stacked stage tensor (the spatial axis after stacking stages
+        # last); equivalently each stage loses its spatial mean.
+        ks = [k - jnp.mean(k, axis=-1, keepdims=True) for k in ks]
+
     def combine(w):
         acc = w[0] * ks[0]
         for j in range(1, tab.s):
@@ -68,7 +76,8 @@ def erk_step(tab: Tableau, f: Callable, t, y, h):
     return y_hi, None
 
 
-def solve_fixed(f: Callable, y0: jnp.ndarray, ts: jnp.ndarray, tab: Tableau):
+def solve_fixed(f: Callable, y0: jnp.ndarray, ts: jnp.ndarray, tab: Tableau,
+                conserve: bool = False):
     """Fixed-step integration: one RK step per output interval.
 
     Returns the trajectory stacked on a new axis 1: [batch, nt, ...].
@@ -76,7 +85,7 @@ def solve_fixed(f: Callable, y0: jnp.ndarray, ts: jnp.ndarray, tab: Tableau):
 
     def step(y, tp):
         t, t_next = tp
-        y_next, _ = erk_step(tab, f, t, y, t_next - t)
+        y_next, _ = erk_step(tab, f, t, y, t_next - t, conserve=conserve)
         return y_next, y_next
 
     _, traj = jax.lax.scan(step, y0, (ts[:-1], ts[1:]))

@@ -62,12 +62,24 @@ def fit(args, exp, data, save_path: str):
         steps_per_epoch=t_res * n_batches,
     )
     opt_state = tx.init(params)
+    start_epoch = 0
+    if getattr(args, "resume", None):
+        # mid-training resume — the reference cannot do this (it saves
+        # params only, train.py:433); our checkpoints carry optimizer state.
+        from msmp_pde_tpu.utils.checkpoint import restore_checkpoint
+
+        restored = restore_checkpoint(
+            args.resume, {"params": params, "opt_state": opt_state, "epoch": 0}
+        )
+        params, opt_state = restored["params"], restored["opt_state"]
+        start_epoch = int(restored["epoch"]) + 1
+        print(f"Resumed from {args.resume} at epoch {start_epoch}")
     rng = np.random.default_rng(args.seed)
 
     min_val_loss = 1e30
     test_loss = 1e30
     results = {}
-    for epoch in range(args.num_epochs):
+    for epoch in range(start_epoch, args.num_epochs):
         print(f"Epoch {epoch}")
         params, opt_state, _ = train_epoch(
             trainer, tx, params, opt_state, u_train, var_train, epoch,
@@ -179,6 +191,8 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default="default",
                    choices=["cpu", "tpu", "default"])
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint to resume training from")
     p.add_argument("--profile", type=str, default=None,
                    help="directory for a jax.profiler trace of one pass")
     p.add_argument("--data_suffix", type=str, default="",

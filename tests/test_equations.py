@@ -280,3 +280,39 @@ class TestWE:
         for _ in range(249):
             state = P @ state
         assert 0.2 < np.linalg.norm(state) / norm0 < 5.0
+
+
+class TestKSDiagnostics:
+    @ref_only
+    def test_energy_spectrum_matches_reference(self):
+        ref_pdes = _import_ref()
+        L, nx, dt = 22.0 / (2 * np.pi), 64, 0.025
+        ks_ref = ref_pdes.KS(L=L, nx=nx, dt=dt, tend=1.0, tstart=0.0,
+                             dt_downsampled=0.1)
+        ks_ref.IC(ks_ref.u0, testing=False)
+        ks_ref.simulate()
+        ks_ref.fou2real()
+        ks_ref.compute_Ek()
+
+        ks = KS(L=L, nx=nx, dt=dt, tend=1.0, tstart=0.0, dt_downsampled=0.1)
+        diag = ks.energy_spectrum(jnp.asarray(ks_ref.uu))
+        # same snapshots in -> same energy bookkeeping out
+        np.testing.assert_allclose(
+            np.asarray(diag["Ek_kt"]), ks_ref.Ek_kt, rtol=1e-6, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(diag["Ek_t"]), ks_ref.Ek_t, rtol=1e-6, atol=1e-12
+        )
+
+    def test_space_filter_roundtrip(self):
+        ks = KS(L=22.0 / (2 * np.pi), nx=64, dt=0.025, tend=1.0,
+                dt_downsampled=0.1)
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.normal(size=(5, 64)))
+        filt, resid = ks.space_filter(u, k_cut=2.0)
+        np.testing.assert_allclose(np.asarray(filt + resid), np.asarray(u),
+                                   atol=1e-12)
+        # filtered field contains only low wavenumbers
+        v = np.fft.fft(np.asarray(filt))
+        k = np.concatenate([np.arange(0, 32), [0.0], np.arange(-31, 0)]) / ks.L
+        assert np.abs(v[:, np.abs(k) >= 2.0]).max() < 1e-9
