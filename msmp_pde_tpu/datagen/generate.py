@@ -107,6 +107,38 @@ def _expand_groups(vals, batch_size):
     return jnp.repeat(vals, batch_size).reshape(-1, 1, 1)
 
 
+
+def _sharder():
+    """Batch-axis sharding for multi-device datagen (SPMD over trajectories).
+
+    Returns a function placing the leading axis of every array in a pytree
+    across all visible devices; identity on a single device. The jitted
+    solvers are shape-polymorphic in the batch axis, so GSPMD partitions the
+    whole integration (the adaptive error max becomes an all-reduce)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) <= 1:
+        return lambda tree: tree
+    import numpy as _np
+
+    mesh = Mesh(_np.asarray(devs), ("dp",))
+    sh = NamedSharding(mesh, P("dp"))
+
+    def place(tree):
+        import jax as _jax
+
+        def put(a):
+            if hasattr(a, "shape") and a.ndim >= 1 and a.shape[0] % len(devs) == 0:
+                return _jax.device_put(a, sh)
+            return a
+
+        return _jax.tree.map(put, tree)
+
+    return place
+
+
 # --------------------------------------------------------------------- CE
 def generate_ce(args, tmax: float, alpha, beta, gamma):
     import jax
@@ -118,6 +150,7 @@ def generate_ce(args, tmax: float, alpha, beta, gamma):
     from msmp_pde_tpu.temporal import DOPRI45, solve_adaptive
 
     _maybe_log(args, "CE")
+    shard = _sharder()
     pdes = {
         f"pde_{nt}-{nx}": CE(tmin=0.0, tmax=tmax, grid_size=(nt, nx))
         for nt, nx in RES_CE
@@ -166,6 +199,9 @@ def generate_ce(args, tmax: float, alpha, beta, gamma):
             A, omega, phi, l = ics.sample_sine_params(
                 k4, c, pde0.n_waves, pde0.lmin, pde0.lmax
             )
+            al, be, ga, A, omega, phi, l = shard(
+                (al, be, ga, A, omega, phi, l)
+            )
             for k, pde in pdes.items():
                 t1 = time.time()
                 traj = solvers[k](al, be, ga, A, omega, phi, l)
@@ -195,6 +231,7 @@ def generate_kf(args, tmax: float, r_range, d_range):
     from msmp_pde_tpu.temporal import DOPRI45, solve_adaptive
 
     _maybe_log(args, "KF")
+    shard = _sharder()
     # torchdiffeq dopri5 default tolerances (reference :518)
     tab = dataclasses.replace(DOPRI45, rtol=1e-7, atol=1e-9)
     pdes = {
@@ -244,6 +281,7 @@ def generate_kf(args, tmax: float, r_range, d_range):
             A, _, _, l = ics.sample_sine_params(
                 k3, c, pde0.n_waves, pde0.lmin, pde0.lmax
             )
+            r, D, A, l = shard((r, D, A, l))
             for k, pde in pdes.items():
                 t1 = time.time()
                 traj = solvers[k](r, D, A, l)
@@ -268,6 +306,7 @@ def generate_ks(args, tend: float, dt_fine: float):
     from msmp_pde_tpu.equations import KS
 
     _maybe_log(args, "KS")
+    shard = _sharder()
     # L = 22/(2 pi): chaotic regime (reference :923-925)
     L = 22.0 / (2.0 * np.pi)
     key = jax.random.PRNGKey(args.seed)
@@ -300,7 +339,7 @@ def generate_ks(args, tend: float, dt_fine: float):
                 )
                 x_lin = jnp.linspace(0.0, 2 * np.pi * ks.L, ks.nx)
                 arg = 2.0 * jnp.pi * l * (x_lin / (2 * np.pi))[:, None] / ks.L + phi
-                u0 = jnp.sum(A * jnp.sin(arg), axis=-1)
+                u0 = shard(jnp.sum(A * jnp.sin(arg), axis=-1))
                 # transient removal + temporal downsampling (reference :620-625)
                 transient = int(2.0 / ks.dt) + 1
                 idx = np.round(

@@ -24,6 +24,17 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed():
+    """Multi-host initialization over DCN (jax.distributed). No-op unless the
+    standard coordinator env vars are present — single-host runs (and this
+    repo's CI) never touch it. SURVEY.md §2.4: within a slice collectives
+    ride ICI; across slices jax.distributed coordinates over DCN."""
+    import os
+
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
