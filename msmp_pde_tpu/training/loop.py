@@ -165,11 +165,9 @@ class Trainer:
             weight_decay=0.01,
         )
 
-    def train_step_fn(self, tx, unrolled: int):
-        """Jitted optimizer step for a given (static) pushforward depth."""
-        if (id(tx), unrolled) in self._steps:
-            return self._steps[(id(tx), unrolled)]
-
+    def _one_step(self, tx, unrolled: int):
+        """The (untraced) single optimizer step for a static pushforward
+        depth — shared by train_step_fn and train_pass_fn."""
         tw = self.tw
 
         def step(params, opt_state, u_all, var_all, idx_batch, steps):
@@ -200,8 +198,49 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        fn = jax.jit(step, donate_argnums=(0, 1))
-        self._steps[(id(tx), unrolled)] = fn
+        return step
+
+    def train_step_fn(self, tx, unrolled: int):
+        """Jitted optimizer step for a given (static) pushforward depth."""
+        key = (id(tx), unrolled)
+        if key not in self._steps:
+            self._steps[key] = jax.jit(
+                self._one_step(tx, unrolled), donate_argnums=(0, 1)
+            )
+        return self._steps[key]
+
+    def train_pass_fn(self, tx, max_unroll: int):
+        """One jit call executing a FULL pass over the shuffled loader: a
+        lax.scan over the batches with lax.switch on the per-batch
+        pushforward depth. This amortizes host->device dispatch (through the
+        TPU tunnel a per-step dispatch costs more than the 4-5 ms step
+        itself; fusing 100+ steps removes that wall entirely)."""
+        key = (id(tx), "pass", max_unroll)
+        if key in self._steps:
+            return self._steps[key]
+
+        branches = [self._one_step(tx, u) for u in range(max_unroll + 1)]
+
+        def pass_fn(params, opt_state, u_all, var_all, idx_pass, steps_pass,
+                    unroll_flags):
+            def body(carry, xs):
+                p, o = carry
+                idx, steps, uf = xs
+                if len(branches) == 1:
+                    p, o, loss = branches[0](p, o, u_all, var_all, idx, steps)
+                else:
+                    p, o, loss = jax.lax.switch(
+                        uf, branches, p, o, u_all, var_all, idx, steps
+                    )
+                return (p, o), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (idx_pass, steps_pass, unroll_flags)
+            )
+            return params, opt_state, losses
+
+        fn = jax.jit(pass_fn, donate_argnums=(0, 1))
+        self._steps[key] = fn
         return fn
 
 
@@ -232,6 +271,7 @@ def train_epoch(
     max_unrolling = min(epoch, unrolling)
     unroll_choices = list(range(max_unrolling + 1))
 
+    fn = trainer.train_pass_fn(tx, max_unrolling)
     losses = []
     for i in range(t_res):
         if profile_dir and i == 1:
@@ -240,19 +280,24 @@ def train_epoch(
             jax.profiler.stop_trace()
             log(f"Profiler trace written to {profile_dir}")
         perm = rng.permutation(n)[: n_batches * batch_size]
-        perm = perm.reshape(n_batches, batch_size)
-        for b in range(n_batches):
-            unrolled = int(rng.choice(unroll_choices))
-            hi = t_res - tw - tw * unrolled + 1
-            steps = rng.integers(tw, hi, size=batch_size)
-            fn = trainer.train_step_fn(tx, unrolled)
-            params, opt_state, loss = fn(
-                params, opt_state, u_all, var_all,
-                jnp.asarray(perm[b]), jnp.asarray(steps),
-            )
-            losses.append(loss)
+        perm = perm.reshape(n_batches, batch_size).astype(np.int32)
+        flags = np.asarray(
+            [rng.choice(unroll_choices) for _ in range(n_batches)], np.int32
+        )
+        steps = np.stack(
+            [
+                rng.integers(tw, t_res - tw - tw * int(f) + 1, size=batch_size)
+                for f in flags
+            ]
+        ).astype(np.int32)
+        params, opt_state, pass_losses = fn(
+            params, opt_state, u_all, var_all,
+            jnp.asarray(perm), jnp.asarray(steps), jnp.asarray(flags),
+        )
+        losses.append(pass_losses)
         if i % print_interval == 0:
-            recent = float(jnp.mean(jnp.stack(losses[-n_batches:])))
+            recent = float(jnp.mean(losses[-1]))
             log(f"Training Loss (progress: {i / t_res:.2f}): "
                 f"{recent / batch_size}")
-    return params, opt_state, float(jnp.mean(jnp.stack(losses))) / batch_size
+    mean_loss = float(jnp.mean(jnp.concatenate(losses)))
+    return params, opt_state, mean_loss / batch_size
