@@ -39,29 +39,35 @@ def main():
     params = trainer.init_params(jax.random.PRNGKey(0), batch_size=B)
     tx = trainer.make_optimizer(1e-4, 0.4, [1, 5, 10, 15], 10**6)
     opt_state = tx.init(params)
-    fn = trainer.train_step_fn(tx, unrolled=1)
+    # the production path: a whole loader pass (scan of optimizer steps with
+    # per-batch pushforward depth) fused into one jit call
+    fn = trainer.train_pass_fn(tx, max_unroll=1)
 
-    def batch(i):
-        idx = jnp.asarray(rng.integers(0, 256, B), jnp.int32)
-        steps = jnp.asarray(rng.integers(tw, nt - 3 * tw, B), jnp.int32)
-        return idx, steps
+    n_steps = 64
+
+    def pass_inputs():
+        idx = jnp.asarray(rng.integers(0, 256, (n_steps, B)), jnp.int32)
+        steps = jnp.asarray(rng.integers(tw, nt - 3 * tw, (n_steps, B)), jnp.int32)
+        flags = jnp.asarray(rng.integers(0, 2, n_steps), jnp.int32)
+        return idx, steps, flags
 
     # warmup / compile
-    idx, steps = batch(0)
-    params, opt_state, loss = fn(params, opt_state, u_all, var_all, idx, steps)
-    loss.block_until_ready()
+    idx, steps, flags = pass_inputs()
+    params, opt_state, losses = fn(params, opt_state, u_all, var_all, idx,
+                                   steps, flags)
+    losses.block_until_ready()
 
-    n_steps = 50
-    batches = [batch(i) for i in range(n_steps)]
+    n_passes = 4
+    inputs = [pass_inputs() for _ in range(n_passes)]
     t0 = time.perf_counter()
-    for idx, steps in batches:
-        params, opt_state, loss = fn(
-            params, opt_state, u_all, var_all, idx, steps
+    for idx, steps, flags in inputs:
+        params, opt_state, losses = fn(
+            params, opt_state, u_all, var_all, idx, steps, flags
         )
-    loss.block_until_ready()
+    losses.block_until_ready()
     dt = time.perf_counter() - t0
 
-    samples_per_sec = n_steps * B / dt
+    samples_per_sec = n_passes * n_steps * B / dt
     print(
         json.dumps(
             {

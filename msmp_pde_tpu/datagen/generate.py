@@ -428,6 +428,19 @@ def generate_rp(args, tend: float, a_range, b_range, initial_condition,
     print("Data saved")
 
 
+def _we_radau_solve(pde, x, u0_state, t_eval, c, tol=1e-3):
+    """Strict-parity fallback: scipy Radau on the Chebyshev RHS, exactly the
+    reference's integrator and tolerances (generate_data.py:264). Kept for
+    one-to-one data comparisons; the default expm path is exact and batched."""
+    from scipy.integrate import solve_ivp
+
+    sol = solve_ivp(
+        pde.chebdx, [t_eval[0], t_eval[-1]], u0_state, method="Radau",
+        t_eval=t_eval, args=(x, c), rtol=tol, atol=tol,
+    )
+    return sol.y.T  # [nt, 2nx]
+
+
 # --------------------------------------------------------------------- WE
 def generate_we(args, boundary_condition: str, tend: float, wave_speed: float):
     import jax
@@ -485,6 +498,7 @@ def generate_we(args, boundary_condition: str, tend: float, wave_speed: float):
             jax.random.uniform(kstart, (n,), minval=-4.0, maxval=4.0)
         )
 
+        use_radau = getattr(args, "we_solver", "expm") == "radau"
         for k, pde in pdes.items():
             x = pde.x
             t1 = time.time()
@@ -496,12 +510,29 @@ def generate_we(args, boundary_condition: str, tend: float, wave_speed: float):
                         continue
                     pde.bc_left = "dirichlet" if bl == 0 else "neumann"
                     pde.bc_right = "dirichlet" if br == 0 else "neumann"
-                    P = jnp.asarray(pde.propagator(c=c))
                     u = np.exp(-((x[None, :] - starts[sel, None]) ** 2))
                     v = -2.0 * c * (x[None, :] - starts[sel, None]) * u
-                    states = jnp.asarray(np.concatenate([u, v], axis=1))
-                    traj = np.asarray(rollout(P, states))  # [nt, B, 2n]
-                    traj = np.moveaxis(traj[..., : pde.nx], 1, 0)  # [B, nt, nx]
+                    if use_radau:
+                        # strict-parity path: per-sample scipy Radau, but
+                        # process-parallel across samples (vs the reference's
+                        # serial loop, generate_data.py:225-264)
+                        from concurrent.futures import ThreadPoolExecutor
+
+                        t_eval = np.linspace(pde.tmin, pde.tmax, pde.nt)
+
+                        def solve_one(i):
+                            s0 = np.concatenate([u[i], v[i]])
+                            y = _we_radau_solve(pde, x, s0, t_eval, c)
+                            return y[:, : pde.nx]
+
+                        with ThreadPoolExecutor(max_workers=8) as ex:
+                            trajs = list(ex.map(solve_one, range(len(sel))))
+                        traj = np.stack(trajs)  # [B, nt, nx]
+                    else:
+                        P = jnp.asarray(pde.propagator(c=c))
+                        states = jnp.asarray(np.concatenate([u, v], axis=1))
+                        traj = np.asarray(rollout(P, states))  # [nt, B, 2n]
+                        traj = np.moveaxis(traj[..., : pde.nx], 1, 0)
                     # reference stores trajectories time-reversed
                     # (solved.y.T[::-1], generate_data.py:269) — replicate.
                     out[sel] = traj[:, ::-1, :]
@@ -570,6 +601,10 @@ def build_parser():
     p.add_argument("--dtype", type=str, default="float64",
                    choices=["float64", "float32"])
     p.add_argument("--log", type=eval, default=False)
+    p.add_argument("--we_solver", type=str, default="expm",
+                   choices=["expm", "radau"],
+                   help="wave equation integrator: exact expm propagator "
+                        "(default) or strict-parity scipy Radau")
     return p
 
 
