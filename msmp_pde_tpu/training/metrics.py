@@ -31,30 +31,71 @@ def _batches(n, batch_size):
         yield np.arange(s, min(s + batch_size, n))
 
 
+def _map_over_batches(one_fn, params, u_args, var_all, batch_size):
+    """Run a per-batch metric over the whole set inside ONE jit call
+    (lax.map over batch chunks) when the set divides evenly; otherwise fall
+    back to a per-batch Python loop. Minimizing dispatch count matters here:
+    the TPU tunnel penalizes many small calls.
+
+    u_args: tuple of [N, ...] arrays batched together; one_fn(params,
+    *u_batch, variables) -> pytree of per-batch results.
+    """
+    n = int(u_args[0].shape[0])
+    if n % batch_size == 0 and n > batch_size:
+        m = n // batch_size
+
+        def reshape(a):
+            return a.reshape((m, batch_size) + a.shape[1:])
+
+        u_r = tuple(reshape(a) for a in u_args)
+        var_r = {k: reshape(v) for k, v in var_all.items()}
+
+        @jax.jit
+        def whole(params, u_r, var_r):
+            def body(xs):
+                us, vs = xs
+                return one_fn(params, *us, vs)
+
+            return jax.lax.map(body, (u_r, var_r))
+
+        return whole(params, u_r, var_r)
+
+    outs = []
+    for idx in _batches(n, batch_size):
+        jidx = jnp.asarray(idx)
+        us = tuple(jnp.take(a, jidx, axis=0) for a in u_args)
+        vs = {k: jnp.take(v, jidx) for k, v in var_all.items()}
+        outs.append(one_fn(params, *us, vs))
+    # stack leading axis like lax.map output
+    return jax.tree.map(lambda *x: jnp.stack(x), *outs)
+
+
 def test_timestep_losses(trainer: Trainer, params, u_all, var_all,
                          batch_size: int, t_res: int, log=print):
-    """One-step losses at every tw multiple (train_helper.py:150-203)."""
+    """One-step losses at every tw multiple (train_helper.py:150-203).
+
+    All steps x all batches evaluate in one jit call (see _map_over_batches).
+    """
     tw = trainer.tw
-    n = int(u_all.shape[0])
+    step_vals = [s for s in range(tw, t_res - tw + 1)
+                 if s == tw or s % tw == 0]
+    steps_arr = jnp.asarray(step_vals, jnp.int32)
 
-    @jax.jit
-    def one(params, u_traj, variables, steps):
-        window, labels = slice_windows(u_traj, steps, tw)
-        pred, _ = trainer.forward(params, window, steps, variables)
-        return jnp.sum((pred - labels) ** 2)
+    def one(params, u_traj, variables):
+        def at_step(s):
+            steps = jnp.full((u_traj.shape[0],), s, jnp.int32)
+            window, labels = slice_windows(u_traj, steps, tw)
+            pred, _ = trainer.forward(params, window, steps, variables)
+            return jnp.sum((pred - labels) ** 2) / u_traj.shape[0]
 
+        return jax.lax.map(at_step, steps_arr)  # [S]
+
+    losses = _map_over_batches(one, params, (u_all,), var_all, batch_size)
+    per_step = np.asarray(jnp.mean(losses, axis=0))
     results = {}
-    for step in range(tw, t_res - tw + 1):
-        if step != tw and step % tw != 0:
-            continue
-        losses = []
-        for idx in _batches(n, batch_size):
-            u_traj = jnp.take(u_all, jnp.asarray(idx), axis=0)
-            variables = {k: jnp.take(v, jnp.asarray(idx)) for k, v in var_all.items()}
-            steps = jnp.full((len(idx),), step, jnp.int32)
-            losses.append(one(params, u_traj, variables, steps) / len(idx))
-        results[step] = float(jnp.mean(jnp.stack(losses)))
-        log(f"Step {step}, mean loss {results[step]}")
+    for s, l in zip(step_vals, per_step):
+        results[s] = float(l)
+        log(f"Step {s}, mean loss {float(l)}")
     return results
 
 
@@ -88,34 +129,26 @@ def test_unrolled_losses(trainer: Trainer, params, u_all, u_base_all, var_all,
     """Unrolled forward loss + numerical-baseline loss
     (train_helper.py:205-296). Returns mean unrolled loss (the val metric)."""
     tw = trainer.tw
-    n = int(u_all.shape[0])
 
-    @jax.jit
     def one(params, u_traj, u_base, variables):
+        bsz = u_traj.shape[0]
         preds, labs = _rollout_collect(trainer, params, u_traj, variables,
                                        nr_gt_steps, t_res)
-        loss = jnp.sum((preds - labs) ** 2, axis=(1, 2, 3))  # [S]
-        loss = jnp.sum(loss) / nx_base
+        loss = jnp.sum((preds - labs) ** 2) / nx_base / bsz
         # numerical baseline windows (both trajectories, same steps)
         base_losses = []
         for step in range(tw * nr_gt_steps, t_res - tw + 1, tw):
-            steps = jnp.full((u_traj.shape[0],), step, jnp.int32)
+            steps = jnp.full((bsz,), step, jnp.int32)
             _, lab_s = slice_windows(u_traj, steps, tw)
             _, lab_b = slice_windows(u_base, steps, tw)
-            base_losses.append(jnp.sum((lab_s - lab_b) ** 2) / nx_base)
+            base_losses.append(jnp.sum((lab_s - lab_b) ** 2) / nx_base / bsz)
         return loss, jnp.sum(jnp.stack(base_losses))
 
-    losses, base = [], []
-    for idx in _batches(n, batch_size):
-        jidx = jnp.asarray(idx)
-        u_traj = jnp.take(u_all, jidx, axis=0)
-        u_base = jnp.take(u_base_all, jidx, axis=0)
-        variables = {k: jnp.take(v, jidx) for k, v in var_all.items()}
-        l, b = one(params, u_traj, u_base, variables)
-        losses.append(l / len(idx))
-        base.append(b / len(idx))
-    mean_loss = float(jnp.mean(jnp.stack(losses)))
-    mean_base = float(jnp.mean(jnp.stack(base)))
+    losses, base = _map_over_batches(
+        one, params, (u_all, u_base_all), var_all, batch_size
+    )
+    mean_loss = float(jnp.mean(losses))
+    mean_base = float(jnp.mean(base))
     log(f"Unrolled forward losses {mean_loss}")
     log(f"Unrolled forward base losses {mean_base}")
     return mean_loss, mean_base
@@ -229,9 +262,7 @@ def compute_l2_norms(trainer: Trainer, params, u_all, var_all,
     """Space-time L2 and relative L2 over the full rollout — the paper
     metric (train_helper.py:362-471, :298-328)."""
     tw, d = trainer.tw, trainer.d
-    n = int(u_all.shape[0])
 
-    @jax.jit
     def one(params, u_traj, variables):
         preds, labs = _rollout_collect(trainer, params, u_traj, variables,
                                        nr_gt_steps, t_res)
@@ -249,16 +280,9 @@ def compute_l2_norms(trainer: Trainer, params, u_all, var_all,
         m = jnp.sqrt(jnp.mean(jnp.sum(sq_norm, axis=2), axis=(1, 2)))
         return l, m
 
-    ls, ms = [], []
-    for idx in _batches(n, batch_size):
-        jidx = jnp.asarray(idx)
-        u_traj = jnp.take(u_all, jidx, axis=0)
-        variables = {k: jnp.take(v, jidx) for k, v in var_all.items()}
-        l, m = one(params, u_traj, variables)
-        ls.append(l)
-        ms.append(m)
-    l_mean = float(jnp.mean(jnp.concatenate(ls)))
-    m_mean = float(jnp.mean(jnp.concatenate(ms)))
+    ls, ms = _map_over_batches(one, params, (u_all,), var_all, batch_size)
+    l_mean = float(jnp.mean(ls))
+    m_mean = float(jnp.mean(ms))
     rel = l_mean / m_mean
     log(f"L2 error {l_mean}")
     log(f"L2 relative error {100 * rel} %")
