@@ -115,3 +115,24 @@ def test_param_counts_match_reference_structure():
     dec = (8 * 1 * 16 + 8) + (1 * 8 * 14 + 1)
     want = 6 * per_layer + emb + dec
     assert n == want, (n, want)
+
+
+@pytest.mark.parametrize("tw", [20, 50])
+def test_decoder_time_windows(tw):
+    """The decoder conv configs must produce exactly tw outputs for the
+    supported windows 20/25/50 (models_gnn.py:210-224)."""
+    model, _ = get_model("MP-PDE", tw=tw, n_eq_vars=0, L=L, tmax=TMAX, dt=DT)
+    key = jax.random.PRNGKey(0)
+    x = np.linspace(0, L, NX)
+    from msmp_pde_tpu.data.graph import build_neighbors_radius as bnr
+
+    idx, mask = bnr(x, 3)
+    window = jax.random.normal(key, (2, NX, tw), jnp.float32)
+    pos_x = jnp.broadcast_to(jnp.asarray(x, jnp.float32), (2, NX))
+    t = jnp.ones((2,), jnp.float32)
+    var_vec = jnp.ones((2, 1), jnp.float32)
+    params = model.init(key, window, pos_x, t, var_vec,
+                        jnp.asarray(idx), jnp.asarray(mask))
+    out, _ = model.apply(params, window, pos_x, t, var_vec,
+                         jnp.asarray(idx), jnp.asarray(mask))
+    assert out.shape == (2, NX, tw)
