@@ -109,6 +109,7 @@ class KS:
         u0: jnp.ndarray,
         save_steps: np.ndarray,
         coeffs: Optional[KSCoeffs] = None,
+        method: str = "auto",
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Integrate a batch of ICs, saving only the requested fine steps.
 
@@ -117,10 +118,22 @@ class KS:
             save_steps: increasing array of fine-step indices to save
                 (0 = the IC itself). Must include all needed outputs.
             coeffs: optional precomputed ETDRK4 coefficients.
+            method: 'fft' (jnp.fft, complex), 'dft' (real DFT matmuls — the
+                TPU path: at nx <= 200 two [nx, nx] real matmuls per
+                transform ride the MXU and avoid complex dtypes entirely,
+                sidestepping a TPU-backend limitation on fused complex
+                elementwise + fft programs), or 'auto' (dft on TPU, fft
+                elsewhere).
         Returns:
             (u_saved [B, len(save_steps), nx] real,
              valid [B] bool — False where the trajectory blew up).
         """
+        if method == "auto":
+            import jax as _jax
+
+            method = "dft" if _jax.default_backend() == "tpu" else "fft"
+        if method == "dft":
+            return self._simulate_dft(u0, save_steps, coeffs)
         c = coeffs or etdrk4_setup(self.L, self.nx, self.dt)
         dtype = u0.dtype
         cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
@@ -162,6 +175,74 @@ class KS:
             return v, jnp.real(jnp.fft.ifft(v))
 
         _, u_saved = jax.lax.scan(seg_step, v0, seg_lens)  # [n_save, B, nx]
+        u_saved = jnp.moveaxis(u_saved, 0, 1)
+        valid = jnp.isfinite(u_saved).all(axis=(1, 2))
+        return u_saved, valid
+
+    def _simulate_dft(self, u0, save_steps, coeffs=None):
+        """ETDRK4 stepping in split real/imaginary parts with DFT matmuls.
+
+        fft(x) for real x is C@x - i S@x with C = cos(2pi jk/n),
+        S = sin(2pi jk/n); real(ifft(v)) = (C@vr - S@vi)/n. The nonlinear
+        term g*w with g = -0.5i k becomes (0.5k*wi, -0.5k*wr). All arrays
+        stay f32 (or f64) real — ideal for the MXU.
+        """
+        c = coeffs or etdrk4_setup(self.L, self.nx, self.dt)
+        dtype = u0.dtype
+        n = self.nx
+        jk = np.outer(np.arange(n), np.arange(n)) * (2.0 * np.pi / n)
+        C = jnp.asarray(np.cos(jk), dtype)
+        S = jnp.asarray(np.sin(jk), dtype)
+        E = jnp.asarray(c.E, dtype)
+        E2 = jnp.asarray(c.E2, dtype)
+        Q = jnp.asarray(c.Q, dtype)
+        f1 = jnp.asarray(c.f1, dtype)
+        f2 = jnp.asarray(c.f2, dtype)
+        f3 = jnp.asarray(c.f3, dtype)
+        half_k = jnp.asarray(0.5 * c.k, dtype)
+        inv_n = jnp.asarray(1.0 / n, dtype)
+
+        def real_ifft(vr, vi):
+            return (vr @ C - vi @ S) * inv_n  # C, S symmetric
+
+        def nonlin(vr, vi):
+            u = real_ifft(vr, vi)
+            u2 = u * u
+            wr = u2 @ C
+            wi = -(u2 @ S)
+            # g * w, g = -0.5i k
+            return half_k * wi, -(half_k * wr)
+
+        def step(vr, vi):
+            Nvr, Nvi = nonlin(vr, vi)
+            ar, ai = E2 * vr + Q * Nvr, E2 * vi + Q * Nvi
+            Nar, Nai = nonlin(ar, ai)
+            br, bi = E2 * vr + Q * Nar, E2 * vi + Q * Nai
+            Nbr, Nbi = nonlin(br, bi)
+            cr, ci = E2 * ar + Q * (2.0 * Nbr - Nvr), E2 * ai + Q * (2.0 * Nbi - Nvi)
+            Ncr, Nci = nonlin(cr, ci)
+            vr2 = E * vr + Nvr * f1 + 2.0 * (Nar + Nbr) * f2 + Ncr * f3
+            vi2 = E * vi + Nvi * f1 + 2.0 * (Nai + Nbi) * f2 + Nci * f3
+            return vr2, vi2
+
+        u0 = u0.astype(dtype)
+        vr0 = u0 @ C
+        vi0 = -(u0 @ S)
+
+        save_steps = np.asarray(save_steps)
+        assert (np.diff(save_steps) > 0).all()
+        seg_lens = jnp.asarray(
+            np.diff(np.concatenate([[0], save_steps])), jnp.int32
+        )
+
+        def seg_step(carry, m):
+            vr, vi = carry
+            vr, vi = jax.lax.fori_loop(
+                0, m, lambda i, vv: step(*vv), (vr, vi)
+            )
+            return (vr, vi), real_ifft(vr, vi)
+
+        _, u_saved = jax.lax.scan(seg_step, (vr0, vi0), seg_lens)
         u_saved = jnp.moveaxis(u_saved, 0, 1)
         valid = jnp.isfinite(u_saved).all(axis=(1, 2))
         return u_saved, valid

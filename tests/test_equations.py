@@ -316,3 +316,16 @@ class TestKSDiagnostics:
         v = np.fft.fft(np.asarray(filt))
         k = np.concatenate([np.arange(0, 32), [0.0], np.arange(-31, 0)]) / ks.L
         assert np.abs(v[:, np.abs(k) >= 2.0]).max() < 1e-9
+
+    def test_dft_matmul_path_matches_fft(self):
+        """The TPU DFT-matmul stepping must match the complex-fft stepping
+        to machine precision (both f64 here)."""
+        ks = KS(L=22.0 / (2 * np.pi), nx=64, dt=0.025, tend=2.0,
+                tstart=0.0, dt_downsampled=0.2)
+        rng = np.random.default_rng(0)
+        u0 = jnp.asarray(rng.uniform(-0.5, 0.5, (3, 64)))
+        steps = np.array([0, 20, 40, 80])
+        a, va = ks.simulate(u0, steps, method="fft")
+        b, vb = ks.simulate(u0, steps, method="dft")
+        assert float(jnp.abs(a - b).max()) < 1e-12
+        assert np.asarray(va).all() and np.asarray(vb).all()
