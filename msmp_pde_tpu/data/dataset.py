@@ -26,7 +26,7 @@ The per-family down-projection rules match common/utils.py exactly:
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import h5py
 import numpy as np

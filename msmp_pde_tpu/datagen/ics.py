@@ -16,8 +16,6 @@ torch RNG); fields evaluate batched under jit.
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

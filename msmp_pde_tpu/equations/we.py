@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
 
 import numpy as np
 import scipy.linalg

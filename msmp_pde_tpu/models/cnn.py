@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from msmp_pde_tpu.models.common import TorchConv1d, torch_uniform_init
+from msmp_pde_tpu.models.common import TorchConv1d
 
 
 class _CircularConv(nn.Module):

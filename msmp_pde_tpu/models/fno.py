@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
-from msmp_pde_tpu.models.common import TorchDense, torch_uniform_init
+from msmp_pde_tpu.models.common import TorchDense
 from msmp_pde_tpu.ops.interp import interp1d
 
 

@@ -25,7 +25,6 @@ RHS signature: ``f(t, y) -> dy/dt`` with t a scalar and y of shape
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -13,7 +13,6 @@ relative-error curve — eval.py:381-478) and performs the beyond-horizon
 """
 from __future__ import annotations
 
-import argparse
 import os
 
 import numpy as np
@@ -71,7 +70,6 @@ def main(args):
     if args.platform != "default":
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
-    import optax
 
     from msmp_pde_tpu.training import metrics
     from msmp_pde_tpu.training.setup import data_family, setup_experiment

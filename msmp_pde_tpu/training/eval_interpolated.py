@@ -14,7 +14,6 @@ onto the unstructured grid, and the space-time L2 norms are computed there
 """
 from __future__ import annotations
 
-import argparse
 import copy
 
 import numpy as np

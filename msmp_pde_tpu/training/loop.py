@@ -28,8 +28,7 @@ parameters are replicated; under jit XLA inserts the gradient all-reduce
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

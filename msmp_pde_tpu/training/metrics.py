@@ -16,7 +16,7 @@ unrolled statically (8 window steps for the standard 250/25 config).
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

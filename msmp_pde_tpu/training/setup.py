@@ -6,7 +6,7 @@ Mirrors the dispatch blocks of /root/reference/experiments/train.py:305-401.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 
