@@ -303,6 +303,7 @@ class MPSolver(nn.Module):
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,
+            unroll=True,  # short window; see models/lem.py rationale
         )
         cell = ScanLSTM(
             features=H, kernel_init=init, recurrent_kernel_init=init,

@@ -79,5 +79,9 @@ class LEM(nn.Module):
             y_new = (1.0 - dt2) * y + dt2 * jnp.tanh(zx_t + z_new @ Wz_z.T)
             return (y_new, z_new), None
 
-        state, _ = jax.lax.scan(step, initial_state, (gx, zx))
+        # T is the short temporal-bundling window (20-50): fully unrolling
+        # removes the while-loop + dynamic-update-slice machinery that
+        # dominates the profile (the two LEM scans were ~35% of the E1 train
+        # step before unrolling) and lets XLA software-pipeline the 25 cells.
+        state, _ = jax.lax.scan(step, initial_state, (gx, zx), unroll=True)
         return state[0], state
