@@ -12,12 +12,6 @@ from msmp_pde_tpu.models import get_model
 from msmp_pde_tpu.training.loop import Trainer
 
 
-def make_trainer(model_name="MP-PDE", nx=24, tw=5, n_layers=2, nt=40):
-    # NB: tw=5 has no decoder config; use MLP-decoder-free models via tw=25?
-    # The decoder supports tw in {20, 25, 50}; use tw=20 for speed.
-    raise NotImplementedError
-
-
 def small_trainer(n_layers=2, nx=24, tw=20, nt=100, model="MP-PDE"):
     x = np.linspace(0.0, 16.0, nx)
     idx, mask = build_neighbors_radius(x, 2)
@@ -143,3 +137,39 @@ class TestLearning:
             if first is None:
                 first = float(loss)
         assert float(loss) < first / 2, (first, float(loss))
+
+
+class TestFusedPass:
+    def test_pass_fn_matches_per_step(self):
+        """One fused pass (scan+switch) must produce the same params/losses
+        as the equivalent sequence of per-step jit calls."""
+        trainer = small_trainer()
+        u_all = _data()
+        params = trainer.init_params(jax.random.PRNGKey(0), batch_size=4)
+        tx = trainer.make_optimizer(1e-4, 0.4, [1, 5], 100)
+
+        idx = jnp.asarray(np.arange(12).reshape(3, 4) % 16, jnp.int32)
+        steps = jnp.asarray([[30, 40, 50, 35], [25, 60, 45, 55],
+                             [30, 30, 40, 50]], jnp.int32)
+        flags = jnp.asarray([0, 1, 0], jnp.int32)
+
+        # per-step path
+        p1 = jax.tree.map(jnp.copy, params)
+        o1 = tx.init(p1)
+        losses1 = []
+        for b in range(3):
+            fn = trainer.train_step_fn(tx, int(flags[b]))
+            p1, o1, l = fn(p1, o1, u_all, {}, idx[b], steps[b])
+            losses1.append(float(l))
+
+        # fused pass
+        p2 = jax.tree.map(jnp.copy, params)
+        o2 = tx.init(p2)
+        fn = trainer.train_pass_fn(tx, 1)
+        p2, o2, losses2 = fn(p2, o2, u_all, {}, idx, steps, flags)
+
+        np.testing.assert_allclose(np.asarray(losses2), losses1, rtol=1e-5)
+        a = jax.tree.leaves(p1)[0]
+        b = jax.tree.leaves(p2)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
