@@ -30,11 +30,14 @@ class TorchDense(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, params_only=False):
         fan_in = x.shape[-1]
         init = torch_uniform_init(fan_in)
         w = self.param("kernel", init, (fan_in, self.features))
         b = self.param("bias", init, (self.features,))
+        if params_only:
+            # raw params for the fused Pallas layer (ops/mp_pallas.py)
+            return w, b
         return x @ w + b
 
 

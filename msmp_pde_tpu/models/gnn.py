@@ -52,7 +52,7 @@ class FactorizedEdgeDense(nn.Module):
     hidden: int
 
     @nn.compact
-    def __call__(self, h, u, px, variables, idx):
+    def __call__(self, h, u, px, variables, idx, params_only=False):
         B, nx, H = h.shape
         dtw = u.shape[-1]
         V = variables.shape[-1]
@@ -64,6 +64,9 @@ class FactorizedEdgeDense(nn.Module):
         w_dx = self.param("w_dx", init, (1, self.hidden))
         w_v = self.param("w_var", init, (V, self.hidden))
         b = self.param("bias", init, (self.hidden,))
+        if params_only:
+            # the fused Pallas layer consumes the raw params (ops/mp_pallas.py)
+            return w_hi, w_hj, w_du, w_dx, w_v, b
 
         px_f = px[..., None]  # [B, nx, 1]
         side_i = h @ w_hi + u @ w_du + px_f @ w_dx + variables @ w_v + b
@@ -82,8 +85,36 @@ class GNNLayer(nn.Module):
     residual: bool
 
     @nn.compact
-    def __call__(self, h, u, px, variables, idx, mask):
-        m = FactorizedEdgeDense(hidden=self.hidden)(h, u, px, variables, idx)
+    def __call__(self, h, u, px, variables, idx, mask, ega=None):
+        fe = FactorizedEdgeDense(hidden=self.hidden)
+        if ega is not None:
+            # fused Pallas path: one TPU kernel for the whole layer,
+            # same params / same math as the XLA path below
+            # (exact-parity test: tests/test_mp_pallas.py)
+            from msmp_pde_tpu.ops.mp_pallas import fused_mp_layer
+
+            H, V = self.hidden, variables.shape[-1]
+            w_hi, w_hj, w_du, w_dx, w_v, b1 = fe(
+                h, u, px, variables, idx, params_only=True
+            )
+            w2, b2 = TorchDense(self.hidden)(
+                jnp.zeros((1, H), h.dtype), params_only=True
+            )
+            w3, b3 = TorchDense(self.hidden)(
+                jnp.zeros((1, 2 * H + V), h.dtype), params_only=True
+            )
+            w4, b4 = TorchDense(self.hidden)(
+                jnp.zeros((1, H), h.dtype), params_only=True
+            )
+            ega_mats, interpret = ega
+            return fused_mp_layer(
+                h, u, px[..., None], variables, ega_mats,
+                (w_hi, w_hj, w_du, w_dx, w_v, b1, w2, b2, w3, b3, w4, b4),
+                final_act=self.final_act, residual=self.residual,
+                interpret=interpret,
+            )
+
+        m = fe(h, u, px, variables, idx)
         m = swish(m)
         m = swish(TorchDense(self.hidden)(m))  # message_net_2, per edge
         deg = jnp.maximum(mask.sum(-1), 1.0)  # [nx, K] -> [nx]
@@ -167,6 +198,7 @@ class MPSolver(nn.Module):
     L: float = 16.0
     tmax: float = 4.0
     dt: float = 4.0 / 249
+    mp_impl: str = "auto"  # auto | pallas | xla (ops/mp_pallas.py)
 
     @nn.compact
     def __call__(self, window, pos_x, t, var_vec, idx, mask, lem_state=None):
@@ -177,7 +209,7 @@ class MPSolver(nn.Module):
                 tw=self.tw, hidden=self.hidden, layers=self.layers,
                 n_components=self.n_components, encoder="lem",
                 gate="sigmoid", decoder="diff_only", L=self.L,
-                tmax=self.tmax, dt=self.dt,
+                tmax=self.tmax, dt=self.dt, mp_impl=self.mp_impl,
             )
             diff, _ = MPSolver(**sub, name="diff_tower")(
                 window, pos_x, t, var_vec, idx, mask
@@ -193,6 +225,7 @@ class MPSolver(nn.Module):
 
         h, new_state = self._encode(window, px_n, t, variables, lem_state)
 
+        ega = self._resolve_ega(window, variables, idx, mask)
         ungated = self.gate == "none"
         for i in range(self.layers):
             if self.layer_type == "gat":
@@ -205,16 +238,18 @@ class MPSolver(nn.Module):
                     name=f"gnn_{i}",
                 )
             if ungated:
-                h = layer(h, window, px_n, variables, idx, mask)
+                h = layer(h, window, px_n, variables, idx, mask, ega=ega)
             else:
                 if self.layer_type == "gat":
                     gate_layer = GATLayer(hidden=self.hidden, name=f"gate_{i}")
+                    g = gate_layer(h, window, px_n, variables, idx, mask)
                 else:
                     gate_layer = GNNLayer(
                         hidden=self.hidden, final_act=False, residual=False,
                         name=f"gate_{i}",
                     )
-                g = gate_layer(h, window, px_n, variables, idx, mask)
+                    g = gate_layer(h, window, px_n, variables, idx, mask,
+                                   ega=ega)
                 if self.gate == "sigmoid":
                     tau = jax.nn.sigmoid(g)
                 else:  # gradient gate (models_gnn2D.py:599-601)
@@ -225,12 +260,37 @@ class MPSolver(nn.Module):
                     tau = jnp.tanh(
                         (d2 * mask[None, :, :, None]).sum(2) / deg[None, :, None]
                     )
-                h = (1.0 - tau) * h + tau * swish(
-                    layer(h, window, px_n, variables, idx, mask)
-                )
+                if self.layer_type == "gat":
+                    ln = layer(h, window, px_n, variables, idx, mask)
+                else:
+                    ln = layer(h, window, px_n, variables, idx, mask, ega=ega)
+                h = (1.0 - tau) * h + tau * swish(ln)
 
         out = self._decode(h, window)
         return out, new_state
+
+    # ------------------------------------------------------------ mp impl
+    def _resolve_ega(self, window, variables, idx, mask):
+        """Decide whether the MP layers run through the fused Pallas kernel
+        (ops/mp_pallas.py) and precompute its static gather/aggregation
+        matrices ONCE per forward (shared by all 2*layers GNNLayer calls).
+
+        auto: Pallas on TPU when the per-step working set fits VMEM; XLA
+        otherwise. "pallas" forces it (interpret mode off-TPU, for tests).
+        """
+        if self.layer_type != "mp" or self.mp_impl == "xla":
+            return None
+        backend = jax.default_backend()
+        if self.mp_impl == "auto" and backend != "tpu":
+            return None
+        from msmp_pde_tpu.ops.mp_pallas import edge_matrices, vmem_estimate
+
+        nx, K = idx.shape
+        est = vmem_estimate(nx, K, self.hidden, window.shape[-1],
+                            variables.shape[-1])
+        if self.mp_impl == "auto" and est > 10 * 2**20:
+            return None
+        return edge_matrices(idx, mask), backend != "tpu"
 
     # ------------------------------------------------------------ encoder
     def _encode(self, window, px_n, t, variables, lem_state):

@@ -27,9 +27,11 @@ def main(args):
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
+    from msmp_pde_tpu.parallel.mesh import init_distributed
     from msmp_pde_tpu.training.setup import setup_experiment
     from msmp_pde_tpu.training.train import fit
 
+    init_distributed()  # multi-host DCN hook; no-op single-host
     os.makedirs(args.cv_folder, exist_ok=True)
     exp = setup_experiment(args)
 

@@ -88,13 +88,20 @@ def make_var_fns(eq_norms: Dict[str, float], tmax: float):
 
 @dataclasses.dataclass
 class Trainer:
-    """Builds and caches the jitted train/apply functions for one model."""
+    """Builds and caches the jitted train/apply functions for one model.
+
+    ``mesh`` (optional): a 1-D 'dp' jax.sharding.Mesh. When set, the jitted
+    train step/pass programs carry NamedSharding constraints — params and
+    trajectory arrays replicated, per-batch sample indices sharded — and
+    GSPMD inserts the gradient all-reduce over ICI (SURVEY.md §2.4; the
+    reference is strictly single-device)."""
 
     model: object
     kind: str  # graph | grid
     spec: GraphSpec
     eq_norms: Dict[str, float]
     unstructured_x: Optional[np.ndarray] = None
+    mesh: Optional[object] = None
 
     def __post_init__(self):
         self.tw = self.spec.tw
@@ -102,7 +109,12 @@ class Trainer:
         self.graph_vars, self.grid_vars = make_var_fns(
             self.eq_norms, self.spec.tmax
         )
+        # jitted-program caches. Values hold a strong reference to the
+        # optimizer object so its id() can never be reused by a new object
+        # while the cache entry is alive (stale-id collision would silently
+        # run a stale program).
         self._steps = {}
+        self._metric_cache = {}
 
     # ------------------------------------------------------------ forward
     def forward(self, params, window, steps, variables, lem_state=None):
@@ -199,24 +211,53 @@ class Trainer:
 
         return step
 
+    def _dp_shardings(self, batched_ranks):
+        """(in_shardings, out_shardings) for a step/pass signature
+        ``(params, opt_state, u_all, var_all, *batched)`` on the dp mesh.
+        ``batched_ranks``: for each trailing batched arg, the axis index that
+        carries the per-sample batch dimension (sharded over 'dp'); None
+        means replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+
+        def bsh(rank):
+            if rank is None:
+                return repl
+            return NamedSharding(
+                self.mesh, P(*([None] * rank), "dp")
+            )
+
+        in_sh = (repl, repl, repl, repl) + tuple(bsh(r) for r in batched_ranks)
+        return in_sh, (repl, repl, repl)
+
     def train_step_fn(self, tx, unrolled: int):
         """Jitted optimizer step for a given (static) pushforward depth."""
         key = (id(tx), unrolled)
         if key not in self._steps:
-            self._steps[key] = jax.jit(
-                self._one_step(tx, unrolled), donate_argnums=(0, 1)
-            )
-        return self._steps[key]
+            step = self._one_step(tx, unrolled)
+            if self.mesh is not None:
+                in_sh, out_sh = self._dp_shardings([0, 0])
+                fn = jax.jit(step, in_shardings=in_sh, out_shardings=out_sh,
+                             donate_argnums=(0, 1))
+            else:
+                fn = jax.jit(step, donate_argnums=(0, 1))
+            self._steps[key] = (tx, fn)
+        return self._steps[key][1]
 
     def train_pass_fn(self, tx, max_unroll: int):
         """One jit call executing a FULL pass over the shuffled loader: a
         lax.scan over the batches with lax.switch on the per-batch
         pushforward depth. This amortizes host->device dispatch (through the
         TPU tunnel a per-step dispatch costs more than the 4-5 ms step
-        itself; fusing 100+ steps removes that wall entirely)."""
+        itself; fusing 100+ steps removes that wall entirely).
+
+        Under a dp mesh the per-pass index/step arrays [n_batches, B] are
+        sharded on their batch axis, so every scanned step is data-parallel
+        with a psum'd gradient — the production multi-chip code path."""
         key = (id(tx), "pass", max_unroll)
         if key in self._steps:
-            return self._steps[key]
+            return self._steps[key][1]
 
         branches = [self._one_step(tx, u) for u in range(max_unroll + 1)]
 
@@ -238,8 +279,15 @@ class Trainer:
             )
             return params, opt_state, losses
 
-        fn = jax.jit(pass_fn, donate_argnums=(0, 1))
-        self._steps[key] = fn
+        if self.mesh is not None:
+            # idx_pass/steps_pass: [n_batches, B] — shard axis 1;
+            # unroll_flags: [n_batches] — replicated (scan-carried control).
+            in_sh, out_sh = self._dp_shardings([1, 1, None])
+            fn = jax.jit(pass_fn, in_shardings=in_sh, out_shardings=out_sh,
+                         donate_argnums=(0, 1))
+        else:
+            fn = jax.jit(pass_fn, donate_argnums=(0, 1))
+        self._steps[key] = (tx, fn)
         return fn
 
 

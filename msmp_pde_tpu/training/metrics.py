@@ -31,7 +31,8 @@ def _batches(n, batch_size):
         yield np.arange(s, min(s + batch_size, n))
 
 
-def _map_over_batches(one_fn, params, u_args, var_all, batch_size):
+def _map_over_batches(one_fn, params, u_args, var_all, batch_size,
+                      cache=None, cache_key=None):
     """Run a per-batch metric over the whole set inside ONE jit call
     (lax.map over batch chunks) when the set divides evenly; otherwise fall
     back to a per-batch Python loop. Minimizing dispatch count matters here:
@@ -39,8 +40,24 @@ def _map_over_batches(one_fn, params, u_args, var_all, batch_size):
 
     u_args: tuple of [N, ...] arrays batched together; one_fn(params,
     *u_batch, variables) -> pytree of per-batch results.
+
+    ``cache``/``cache_key``: the jitted program is memoized (normally in
+    Trainer._metric_cache) so that a second validation epoch re-runs the
+    SAME jitted callable — zero retraces. ``cache_key`` must encode every
+    static baked into ``one_fn``'s closure (t_res, nr_gt_steps, ...); the
+    data shapes are appended here.
     """
     n = int(u_args[0].shape[0])
+    shapes = tuple(a.shape for a in u_args) + (tuple(sorted(var_all)),)
+
+    def cached(kind, build):
+        if cache is None:
+            return build()
+        full_key = (cache_key, kind, batch_size) + shapes
+        if full_key not in cache:
+            cache[full_key] = build()
+        return cache[full_key]
+
     if n % batch_size == 0 and n > batch_size:
         m = n // batch_size
 
@@ -50,22 +67,27 @@ def _map_over_batches(one_fn, params, u_args, var_all, batch_size):
         u_r = tuple(reshape(a) for a in u_args)
         var_r = {k: reshape(v) for k, v in var_all.items()}
 
-        @jax.jit
-        def whole(params, u_r, var_r):
-            def body(xs):
-                us, vs = xs
-                return one_fn(params, *us, vs)
+        def build_whole():
+            def whole(params, u_r, var_r):
+                def body(xs):
+                    us, vs = xs
+                    return one_fn(params, *us, vs)
 
-            return jax.lax.map(body, (u_r, var_r))
+                return jax.lax.map(body, (u_r, var_r))
 
-        return whole(params, u_r, var_r)
+            return jax.jit(whole)
 
+        return cached("map", build_whole)(params, u_r, var_r)
+
+    one_jit = cached("one", lambda: jax.jit(
+        lambda params, us, vs: one_fn(params, *us, vs)
+    ))
     outs = []
     for idx in _batches(n, batch_size):
         jidx = jnp.asarray(idx)
         us = tuple(jnp.take(a, jidx, axis=0) for a in u_args)
         vs = {k: jnp.take(v, jidx) for k, v in var_all.items()}
-        outs.append(one_fn(params, *us, vs))
+        outs.append(one_jit(params, us, vs))
     # stack leading axis like lax.map output
     return jax.tree.map(lambda *x: jnp.stack(x), *outs)
 
@@ -90,7 +112,10 @@ def test_timestep_losses(trainer: Trainer, params, u_all, var_all,
 
         return jax.lax.map(at_step, steps_arr)  # [S]
 
-    losses = _map_over_batches(one, params, (u_all,), var_all, batch_size)
+    losses = _map_over_batches(
+        one, params, (u_all,), var_all, batch_size,
+        cache=trainer._metric_cache, cache_key=("timestep", t_res),
+    )
     per_step = np.asarray(jnp.mean(losses, axis=0))
     results = {}
     for s, l in zip(step_vals, per_step):
@@ -145,7 +170,9 @@ def test_unrolled_losses(trainer: Trainer, params, u_all, u_base_all, var_all,
         return loss, jnp.sum(jnp.stack(base_losses))
 
     losses, base = _map_over_batches(
-        one, params, (u_all, u_base_all), var_all, batch_size
+        one, params, (u_all, u_base_all), var_all, batch_size,
+        cache=trainer._metric_cache,
+        cache_key=("unrolled", t_res, nr_gt_steps, nx_base),
     )
     mean_loss = float(jnp.mean(losses))
     mean_base = float(jnp.mean(base))
@@ -167,7 +194,6 @@ def rollout_store(trainer: Trainer, params, u_all, var_all, batch_size: int,
     tw, d = trainer.tw, trainer.d
     n = int(u_all.shape[0])
 
-    @jax.jit
     def one(params, u_traj, variables):
         preds, labs = _rollout_collect(trainer, params, u_traj, variables,
                                        nr_gt_steps, t_res)
@@ -198,12 +224,18 @@ def rollout_store(trainer: Trainer, params, u_all, var_all, batch_size: int,
             t = jnp.concatenate([t, jnp.zeros_like(e)], axis=1)
         return p, t
 
+    cache = trainer._metric_cache
+    ckey = ("rollout_store", t_res, nr_gt_steps, n_more_rollout)
+    if ckey not in cache:
+        cache[ckey] = jax.jit(one)
+    one_jit = cache[ckey]
+
     ps, ts = [], []
     for idx in _batches(n, batch_size):
         jidx = jnp.asarray(idx)
         u_traj = jnp.take(u_all, jidx, axis=0)
         variables = {k: jnp.take(v, jidx) for k, v in var_all.items()}
-        p, t = one(params, u_traj, variables)
+        p, t = one_jit(params, u_traj, variables)
         ps.append(np.asarray(p))
         ts.append(np.asarray(t))
     return np.concatenate(ps), np.concatenate(ts)
@@ -280,7 +312,11 @@ def compute_l2_norms(trainer: Trainer, params, u_all, var_all,
         m = jnp.sqrt(jnp.mean(jnp.sum(sq_norm, axis=2), axis=(1, 2)))
         return l, m
 
-    ls, ms = _map_over_batches(one, params, (u_all,), var_all, batch_size)
+    ls, ms = _map_over_batches(
+        one, params, (u_all,), var_all, batch_size,
+        cache=trainer._metric_cache,
+        cache_key=("l2norms", t_res, nr_gt_steps),
+    )
     l_mean = float(jnp.mean(ls))
     m_mean = float(jnp.mean(ms))
     rel = l_mean / m_mean

@@ -76,6 +76,24 @@ def data_family(experiment: str) -> str:
     raise ValueError(experiment)
 
 
+def resolve_data_path(data_dir: str, fam: str, experiment: str, suffix: str,
+                      mode: str) -> str:
+    """Dataset file for one mode: our merged layout
+    ``{fam}_{experiment}.h5`` (all three mode groups in one file) first, then
+    the reference's one-file-per-mode layout ``{fam}_{mode}_{experiment}.h5``
+    (generate_data.py:328-330) — torch-reference-generated files load
+    unmodified."""
+    import os
+
+    merged = f"{data_dir}/{fam}_{experiment}{suffix}.h5"
+    if os.path.exists(merged):
+        return merged
+    per_mode = f"{data_dir}/{fam}_{mode}_{experiment}{suffix}.h5"
+    if os.path.exists(per_mode):
+        return per_mode
+    return merged  # canonical name in the error message if neither exists
+
+
 @dataclasses.dataclass
 class Experiment:
     pde: object
@@ -104,7 +122,8 @@ def setup_experiment(args, modes=("train", "valid", "test"),
         pde.unstructured_grid = False
     datasets = {
         m: PDEDataset(
-            f"{data_dir}/{fam}_{args.experiment}{suffix}.h5", pde, m,
+            resolve_data_path(data_dir, fam, args.experiment, suffix, m),
+            pde, m,
             base_resolution=tuple(args.base_resolution),
             super_resolution=tuple(args.super_resolution),
         )

@@ -39,6 +39,7 @@ def fit(args, exp, data, save_path: str):
     import jax
     import jax.numpy as jnp
 
+    from msmp_pde_tpu.parallel.mesh import make_mesh, replicate
     from msmp_pde_tpu.training import metrics
     from msmp_pde_tpu.training.loop import train_epoch
     from msmp_pde_tpu.utils.checkpoint import save_checkpoint
@@ -46,12 +47,29 @@ def fit(args, exp, data, save_path: str):
     trainer = exp.trainer
     t_res = exp.t_res
     nx_base = args.base_resolution[1]
+
+    # Data parallelism over the device mesh (new capability vs the
+    # single-device reference, SURVEY.md §2.4): auto when >1 device and the
+    # batch divides, or forced via --dp N.
+    import math
+
+    n_dev = len(jax.devices())
+    dp = getattr(args, "dp", 0) or n_dev
+    dp = math.gcd(dp, args.batch_size)
+    if dp > 1:
+        trainer.mesh = make_mesh(dp)
+        print(f"Data parallelism over {dp} devices "
+              f"(mesh {trainer.mesh.shape})")
+        data = {m: replicate(trainer.mesh, v) for m, v in data.items()}
+
     u_train, _, var_train = data["train"]
     u_valid, ub_valid, var_valid = data["valid"]
     u_test, ub_test, var_test = data["test"]
 
     key = jax.random.PRNGKey(args.seed)
     params = trainer.init_params(key, batch_size=args.batch_size)
+    if trainer.mesh is not None:
+        params = replicate(trainer.mesh, params)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"Number of parameters: {n_params}")
 
@@ -72,6 +90,9 @@ def fit(args, exp, data, save_path: str):
             args.resume, {"params": params, "opt_state": opt_state, "epoch": 0}
         )
         params, opt_state = restored["params"], restored["opt_state"]
+        if trainer.mesh is not None:
+            params = replicate(trainer.mesh, params)
+            opt_state = replicate(trainer.mesh, opt_state)
         start_epoch = int(restored["epoch"]) + 1
         print(f"Resumed from {args.resume} at epoch {start_epoch}")
     rng = np.random.default_rng(args.seed)
@@ -137,7 +158,10 @@ def main(args):
     if args.platform != "default":
         jax.config.update("jax_platforms", args.platform)
 
+    from msmp_pde_tpu.parallel.mesh import init_distributed
     from msmp_pde_tpu.training.setup import setup_experiment
+
+    init_distributed()  # multi-host DCN hook; no-op single-host
 
     os.makedirs("models", exist_ok=True)
     os.makedirs("experiments/log", exist_ok=True)
@@ -191,6 +215,9 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default="default",
                    choices=["cpu", "tpu", "default"])
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh size (0 = all devices; clamped "
+                        "to a divisor of batch_size)")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint to resume training from")
     p.add_argument("--profile", type=str, default=None,
