@@ -69,10 +69,18 @@ def build_neighbors_knn(points: np.ndarray, k: int):
     if pts.ndim == 1:
         pts = pts[:, None]
     nx = pts.shape[0]
+    mask = np.ones((nx, k), np.float32)
+
+    from msmp_pde_tpu.utils import native
+
+    if native.available():
+        # threaded C++ selection (native/preprocess.cpp); bit-parity with
+        # the numpy fallback asserted in tests/test_native.py
+        return native.knn_neighbors(pts, k), mask
+
     d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
     np.fill_diagonal(d2, np.inf)
     idx = np.argsort(d2, axis=1)[:, :k].astype(np.int32)
-    mask = np.ones((nx, k), np.float32)
     return idx, mask
 
 

@@ -130,12 +130,21 @@ class GNNLayer(nn.Module):
 
 
 class GATLayer(nn.Module):
-    """Graph-attention layer with edge features — the neighbor-list
-    equivalent of the reference's single-relation RGATConv with
-    edge_attr = [u_i - u_j, x_i - x_j] (models_gnn2D.py:1091-1099, 1175).
+    """Single-relation graph attention with edge features — the neighbor-
+    list equivalent of PyG ``RGATConv(hidden, hidden, edge_dim=2*tw+1)`` in
+    its default additive-self-attention mode with heads=1, dim=1, as used by
+    the reference's G_PDE_Solver2DLEMLinGated (models_gnn2D.py:1091-1099;
+    edge_attr = [u_i - u_j, x_i - x_j], :1175):
 
-    alpha_ij = softmax_j LeakyReLU(a^T [W h_i || W h_j || W_e e_ij]);
-    h_i' = sum_j alpha_ij W h_j. Masked softmax over the padded K axis.
+      alpha_ij = softmax_j LeakyReLU_{0.2}(q.Wh_i + k.Wh_j + w_e.e_ij)
+      h_i'     = sum_j alpha_ij (W h_j) + bias
+
+    (edge features modulate the attention logits only — not the message
+    value — matching RGATConv; masked softmax over the padded K axis.)
+    Documented divergences from PyG (no oracle available in this container:
+    torch_geometric is not installed): torch-default U(-1/sqrt(fan)) init
+    instead of PyG's glorot/zeros, and the edge logit is inside the
+    LeakyReLU. Behavioral tests: tests/test_models.py::TestGATBehavior.
     """
 
     hidden: int
@@ -148,20 +157,35 @@ class GATLayer(nn.Module):
             [u[:, :, None, :] - u[:, idx], (px[..., None])[:, :, None, :] - px[:, idx][..., None]],
             axis=-1,
         )  # [B, nx, K, dtw+1]
-        we = TorchDense(self.hidden, name="lin_edge")(e)
         init = torch_uniform_init(self.hidden)
-        a_i = self.param("att_i", init, (self.hidden,))
-        a_j = self.param("att_j", init, (self.hidden,))
-        a_e = self.param("att_e", init, (self.hidden,))
+        q = self.param("att_q", init, (self.hidden,))
+        k = self.param("att_k", init, (self.hidden,))
+        e_logit = TorchDense(1, name="lin_edge")(e)[..., 0]  # [B, nx, K]
         logits = (
-            (wh * a_i).sum(-1)[:, :, None]
-            + (wh[:, idx] * a_j).sum(-1)
-            + (we * a_e).sum(-1)
+            (wh * q).sum(-1)[:, :, None]
+            + (wh[:, idx] * k).sum(-1)
+            + e_logit
         )  # [B, nx, K]
         logits = jax.nn.leaky_relu(logits, 0.2)
         logits = jnp.where(mask[None] > 0, logits, -1e30)
         alpha = jax.nn.softmax(logits, axis=-1)
-        return jnp.einsum("bnk,bnkh->bnh", alpha, wh[:, idx] + we)
+        alpha = alpha * (mask[None] > 0)  # isolated nodes aggregate nothing
+        bias = self.param(
+            "bias", lambda key, shape: jnp.zeros(shape, jnp.float32),
+            (self.hidden,),
+        )
+        return jnp.einsum("bnk,bnkh->bnh", alpha, wh[:, idx]) + bias
+
+
+def grad_gate(g, idx, mask):
+    """Gradient-based gate (models_gnn2D.py:599-601):
+    tau_i = tanh(mean_j |g_i - g_j|^2) over the in-edges of node i
+    (scatter_mean over edges in the reference; a masked neighbor-mean
+    here). g [B, nx, H] -> tau [B, nx, H]."""
+    g_j = g[:, idx]  # [B, nx, K, H]
+    d2 = (g[:, :, None, :] - g_j) ** 2
+    deg = jnp.maximum(mask.sum(-1), 1.0)
+    return jnp.tanh((d2 * mask[None, :, :, None]).sum(2) / deg[None, :, None])
 
 
 class MPSolver(nn.Module):
@@ -253,13 +277,7 @@ class MPSolver(nn.Module):
                 if self.gate == "sigmoid":
                     tau = jax.nn.sigmoid(g)
                 else:  # gradient gate (models_gnn2D.py:599-601)
-                    g = swish(g)
-                    g_j = g[:, idx]  # [B, nx, K, H]
-                    d2 = (g[:, :, None, :] - g_j) ** 2
-                    deg = jnp.maximum(mask.sum(-1), 1.0)
-                    tau = jnp.tanh(
-                        (d2 * mask[None, :, :, None]).sum(2) / deg[None, :, None]
-                    )
+                    tau = grad_gate(swish(g), idx, mask)
                 if self.layer_type == "gat":
                     ln = layer(h, window, px_n, variables, idx, mask)
                 else:

@@ -71,6 +71,152 @@ def test_forward_shapes(name):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.parametrize("name", MODEL_REGISTRY)
+def test_batch_independence(name):
+    """Sample 0's output must be invariant to sample 1's content — catches
+    cross-batch leaks (wrong InstanceNorm axis, bad reshapes, LEM state
+    mixing). A non-shape behavioral assertion for every registry name."""
+    d = 2 if "2D" in name else 1
+    eq = EQ_1D if d == 1 else EQ_2D
+    positions = np.linspace(0, L, NX) if name == "VNO" else None
+    model, kind = get_model(
+        name, tw=TW, n_eq_vars=len(eq), L=L, tmax=TMAX, dt=DT,
+        eq_var_names=eq, positions=positions,
+    )
+    key = jax.random.PRNGKey(42)
+
+    def run(seed1):
+        if kind == "graph":
+            window, pos_x, t, var_vec, idx, mask = _graph_inputs(d)
+            w2 = window.at[1].set(
+                jax.random.normal(jax.random.PRNGKey(seed1), window.shape[1:])
+            )
+            params = model.init(key, w2, pos_x, t, var_vec, idx, mask)
+            out, _ = model.apply(params, w2, pos_x, t, var_vec, idx, mask)
+            return out
+        window = _grid_inputs(d)
+        w2 = window.at[1].set(
+            jax.random.normal(jax.random.PRNGKey(seed1), window.shape[1:])
+        )
+        var_cols = jnp.ones(
+            (B, len([v for v in eq if v in ("alpha", "beta", "gamma", "D", "r")])),
+            jnp.float32,
+        )
+        x_coords = jnp.asarray(np.linspace(0, L, NX), jnp.float32)
+        if name in ("FNOP", "FNO2DP"):
+            params = model.init(key, w2, var_cols)
+            return model.apply(params, w2, var_cols)
+        if name == "FNO2DPU":
+            params = model.init(key, w2, var_cols, x_coords)
+            return model.apply(params, w2, var_cols, x_coords)
+        params = model.init(key, w2)
+        return model.apply(params, w2)
+
+    o1 = np.asarray(run(7))
+    o2 = np.asarray(run(8))
+    assert not np.allclose(o1[1], o2[1])  # sample 1 did change
+    np.testing.assert_allclose(o1[0], o2[0], rtol=0, atol=0)  # sample 0 didn't
+
+
+def test_grad_gate_formula():
+    """Hand-computed gradient gate on a 3-node path graph
+    (models_gnn2D.py:599-601)."""
+    from msmp_pde_tpu.models.gnn import grad_gate
+
+    # path 0-1-2: node 1 has two neighbors, 0 and 2 have one (+ padding)
+    idx = jnp.asarray([[1, 0], [0, 2], [1, 0]], jnp.int32)
+    mask = jnp.asarray([[1, 0], [1, 1], [1, 0]], jnp.float32)
+    g = jnp.asarray([[[1.0], [2.0], [4.0]]])  # [B=1, nx=3, H=1]
+    tau = np.asarray(grad_gate(g, idx, mask))[0, :, 0]
+    want = np.tanh([
+        (1.0 - 2.0) ** 2,                      # node 0: nbr {1}
+        (((2 - 1) ** 2) + ((2 - 4) ** 2)) / 2,  # node 1: nbrs {0, 2}
+        (4.0 - 2.0) ** 2,                      # node 2: nbr {1}
+    ])
+    np.testing.assert_allclose(tau, want, rtol=1e-6)
+
+
+def test_mssmp_compose_formula():
+    """MSSMP twin composition (models_gnn.py:1739-1743):
+    out = (1 - s) * u_last + cumsum(dt) * (s * d)."""
+    from msmp_pde_tpu.models.gnn import MPSolver
+
+    tw, nx = 4, 3
+    m = MPSolver(tw=tw, n_components=1, twin_scale=True, dt=0.1)
+    rng = np.random.default_rng(0)
+    window = jnp.asarray(rng.normal(size=(1, nx, tw)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(1, nx, tw)).astype(np.float32))
+    diff = jnp.asarray(rng.normal(size=(1, nx, tw)).astype(np.float32))
+    out = np.asarray(m._compose_scale_diff(window, scale, diff))
+    dt_cum = np.cumsum(np.full(tw, 0.1, np.float32))
+    u_last = np.asarray(window)[..., -1:]
+    want = (1 - np.asarray(scale)) * u_last + dt_cum * (
+        np.asarray(scale) * np.asarray(diff)
+    )
+    np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+class TestGATBehavior:
+    def _layer_inputs(self):
+        from msmp_pde_tpu.data.graph import build_neighbors_radius
+
+        rng = np.random.default_rng(3)
+        x = np.linspace(0, L, 16)
+        idx, mask = build_neighbors_radius(x, 2)
+        h = jnp.asarray(rng.normal(size=(2, 16, 8)).astype(np.float32))
+        u = jnp.asarray(rng.normal(size=(2, 16, 5)).astype(np.float32))
+        px = jnp.asarray(rng.normal(size=(2, 16)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(2, 16, 2)).astype(np.float32))
+        return h, u, px, v, jnp.asarray(idx), jnp.asarray(mask)
+
+    def test_neighbor_permutation_invariance(self):
+        from msmp_pde_tpu.models.gnn import GATLayer
+
+        h, u, px, v, idx, mask = self._layer_inputs()
+        layer = GATLayer(hidden=8)
+        params = layer.init(jax.random.PRNGKey(0), h, u, px, v, idx, mask)
+        out = layer.apply(params, h, u, px, v, idx, mask)
+        perm = np.array([3, 1, 0, 2])  # permute the K axis
+        out_p = layer.apply(params, h, u, px, v, idx[:, perm], mask[:, perm])
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_masked_neighbors_ignored(self):
+        from msmp_pde_tpu.models.gnn import GATLayer
+
+        h, u, px, v, idx, mask = self._layer_inputs()
+        layer = GATLayer(hidden=8)
+        params = layer.init(jax.random.PRNGKey(0), h, u, px, v, idx, mask)
+        out = layer.apply(params, h, u, px, v, idx, mask)
+        # repoint every masked slot at a different (absurd) neighbor
+        idx2 = jnp.where(mask > 0, idx, 15)
+        out2 = layer.apply(params, h, u, px, v, idx2, mask)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(out),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_attention_is_convex_combination(self):
+        """With bias zeroed, each output row must lie inside the convex hull
+        of its neighbors' Wh values (softmax weights sum to 1)."""
+        from msmp_pde_tpu.models.gnn import GATLayer
+
+        h, u, px, v, idx, mask = self._layer_inputs()
+        layer = GATLayer(hidden=8)
+        params = layer.init(jax.random.PRNGKey(0), h, u, px, v, idx, mask)
+        params = jax.tree_util.tree_map_with_path(
+            lambda p, x: jnp.zeros_like(x) if "bias" in str(p[-2:]) else x,
+            params,
+        )
+        out = np.asarray(layer.apply(params, h, u, px, v, idx, mask))
+        wh = np.asarray(
+            h @ params["params"]["lin"]["kernel"]
+        )
+        wh_j = wh[:, np.asarray(idx)]  # [B, nx, K, H]
+        m = np.asarray(mask)[None, :, :, None] > 0
+        lo = np.where(m, wh_j, np.inf).min(2)
+        hi = np.where(m, wh_j, -np.inf).max(2)
+        assert (out >= lo - 1e-5).all() and (out <= hi + 1e-5).all()
+
+
 def test_temporal_residual_at_init():
     """At init the decoder output is small; prediction must stay close to
     u_last replicated across the window (the formula-10 structure)."""
