@@ -22,6 +22,66 @@ import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 533.0  # estimated A100 torch reference (see above)
 
+# ESTIMATE-FREE secondary comparison: E1 datagen throughput. The torch
+# reference's own datagen (generate/generate_data.py, run unmodified via
+# experiments/torchref_e1.py) was MEASURED in this container: 2304 samples
+# (2048/128/128) at the two training resolutions (250x200 + 250x100),
+# batch 16, f64 CPU: 1077.7 s wall -> 2.138 samples/s. No estimates.
+TORCH_REF_DATAGEN_SAMPLES_PER_SEC_MEASURED = 2304 / 1077.7
+
+
+def bench_datagen_e1(n_chunks: int = 2, B: int = 16) -> float:
+    """Our E1 datagen throughput on the current backend: adaptive
+    WENO5+Dopri45 solves at both training resolutions, batched per chunk
+    (mirrors msmp_pde_tpu.datagen.generate::generate_ce)."""
+    import jax
+    import jax.numpy as jnp
+
+    from msmp_pde_tpu.datagen import ics
+    from msmp_pde_tpu.equations import CE
+    from msmp_pde_tpu.temporal import DOPRI45, solve_adaptive
+
+    pdes = [CE(tmin=0.0, tmax=4.0, grid_size=(250, nx)) for nx in (200, 100)]
+    solvers = []
+    for pde in pdes:
+        x = jnp.linspace(0.0, pde.L, pde.nx)
+        ts = jnp.linspace(pde.tmin, pde.tmax, pde.nt)
+
+        def make(pde=pde, x=x, ts=ts):
+            def f(A, omega, phi, l):
+                def force(t):
+                    arg = omega * t + 2.0 * jnp.pi * l * x[:, None] / pde.L + phi
+                    return jnp.sum(A * jnp.sin(arg), axis=-1)[:, None, :]
+
+                rhs = pde.make_rhs(
+                    jnp.ones((B, 1, 1)), jnp.zeros((B, 1, 1)),
+                    jnp.zeros((B, 1, 1)), force,
+                )
+                return solve_adaptive(rhs, force(0.0), ts, DOPRI45)
+
+            return jax.jit(f)
+
+        solvers.append(make())
+
+    key = jax.random.PRNGKey(0)
+    pde0 = pdes[0]
+
+    def draw(key):
+        return ics.sample_sine_params(key, B, pde0.n_waves, pde0.lmin,
+                                      pde0.lmax)
+
+    # warmup/compile
+    for s in solvers:
+        s(*draw(key)).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        key, k = jax.random.split(key)
+        p = draw(k)
+        for s in solvers:
+            s(*p).block_until_ready()
+    dt = time.perf_counter() - t0
+    return n_chunks * B / dt
+
 
 def main():
     import jax
@@ -68,6 +128,7 @@ def main():
     dt = time.perf_counter() - t0
 
     samples_per_sec = n_passes * n_steps * B / dt
+    datagen_sps = bench_datagen_e1()
     print(
         json.dumps(
             {
@@ -75,6 +136,14 @@ def main():
                 "value": round(samples_per_sec, 2),
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
+                "vs_baseline_provenance": "ESTIMATED A100 torch step (533/s); the reference publishes no numbers (BASELINE.md)",
+                "datagen_e1_samples_per_sec_chip": round(datagen_sps, 2),
+                "datagen_torch_ref_measured_samples_per_sec": round(
+                    TORCH_REF_DATAGEN_SAMPLES_PER_SEC_MEASURED, 3
+                ),
+                "datagen_vs_torch_ref_measured": round(
+                    datagen_sps / TORCH_REF_DATAGEN_SAMPLES_PER_SEC_MEASURED, 2
+                ),
             }
         )
     )

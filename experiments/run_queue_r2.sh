@@ -21,3 +21,8 @@ run --experiment=MSWG --model=MSMP-PDE2D --num_epochs=20 --batch_size=16
 run --experiment=kdv --model=MSMP-PDE --num_epochs=20 --batch_size=16 \
     --resume=models/MSMP-PDE_CE_kdv_xresolution100-200_n3_tw25_unrolling1_time8161422
 echo "QUEUE COMPLETE"
+# appended: accuracy north-star cross-check — train the flagship on the
+# TORCH-REFERENCE-generated E1 dataset (experiments/torchref_e1.py output)
+run --experiment=E1 --model=MSMP-PDE --num_epochs=20 --batch_size=16 \
+    --data_dir=data_torchref/data
+echo "QUEUE R2B COMPLETE"

@@ -166,7 +166,7 @@ def main(args):
     os.makedirs("models", exist_ok=True)
     os.makedirs("experiments/log", exist_ok=True)
 
-    exp = setup_experiment(args)
+    exp = setup_experiment(args, data_dir=getattr(args, "data_dir", "data"))
 
     d = datetime.now()
     timestring = f"{d.month}{d.day}{d.hour}{d.minute}"
@@ -222,6 +222,9 @@ def build_parser():
                    help="checkpoint to resume training from")
     p.add_argument("--profile", type=str, default=None,
                    help="directory for a jax.profiler trace of one pass")
+    p.add_argument("--data_dir", type=str, default="data",
+                   help="dataset directory (e.g. data_torchref/data for "
+                        "torch-reference-generated files)")
     p.add_argument("--data_suffix", type=str, default="",
                    help="dataset filename suffix, e.g. '_I' for the "
                         "interpolated RPU files")
