@@ -18,49 +18,118 @@ import os
 import numpy as np
 
 
-def plot_rollouts(preds, trues, t_grid, x, family: str, out_dir="plots"):
-    """The three reference figures (eval.py:25-69, 381-478)."""
+def plot_2d_system(pred, true, n=1, out_path="plots/plot2d.png", dpi=400):
+    """The reference's 2x2 system heatmap figure (eval.py:25-69): ground
+    truth left, prediction right, one row per component, fixed color scale
+    [-3, 3], viridis, shared colorbar, Timestep/Grid Point axes."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    d = pred.shape[2]
+    fig, axes = plt.subplots(ncols=2, nrows=max(d, 1), sharex=True,
+                             sharey=True, figsize=(10, 5), squeeze=False)
+    vmin, vmax, cmap = -3, 3, "viridis"
+    axes[0][0].set_title("Ground Truth")
+    axes[0][1].set_title("Prediction")
+    for di in range(d):
+        axes[di][0].imshow(true[n - 1, :, di, :].T, vmin=vmin, vmax=vmax,
+                           cmap=cmap, aspect="auto")
+        im = axes[di][1].imshow(pred[n - 1, :, di, :].T, vmin=vmin, vmax=vmax,
+                                cmap=cmap, aspect="auto")
+        axes[di][0].set_ylabel("Grid Point")
+        twin = axes[di][1].twinx()
+        twin.set_ylabel(rf"$u_{di + 1}$", fontsize=15, rotation=0, labelpad=8)
+        twin.set_yticks([])
+    for ax in axes[-1]:
+        ax.set_xlabel("Timestep")
+    fig.subplots_adjust(right=0.8)
+    cbar_ax = fig.add_axes([0.93, 0.18, 0.01, 0.7])
+    fig.colorbar(im, cax=cbar_ax)
+    plt.tight_layout(rect=[0, 0, 0.95, 1])
+    fig.savefig(out_path, dpi=dpi)
+    plt.close(fig)
+
+
+def plot_rollouts(preds, trues, t_grid, x, family: str, out_dir="plots",
+                  start_step=50, dpi=400):
+    """The reference eval figures (eval.py:381-478): per-timestep colored
+    rollout curves (plot1d.png), pred/true heatmaps (plot2d.png), and the
+    log-scale per-timestep relative-error curve (plot_relerror.png)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.cm as cm
+    import matplotlib.colors as mcolors
+    import matplotlib.pyplot as plt
+
     os.makedirs(out_dir, exist_ok=True)
     N, T, d, nx = preds.shape
 
-    # 1D rollout snapshots (plot1d.png)
-    fig, axes = plt.subplots(1, 4, figsize=(16, 3.2))
-    snap = np.linspace(0, T - 1, 4).astype(int)
-    for ax, ti in zip(axes, snap):
-        ax.plot(x, trues[0, ti, 0], label="true", lw=2)
-        ax.plot(x, preds[0, ti, 0], "--", label="pred")
-        ax.set_title(f"t index {ti}")
-    axes[0].legend()
-    fig.tight_layout()
-    fig.savefig(f"{out_dir}/plot1d.png", dpi=120)
-    plt.close(fig)
+    if d == 1:
+        # 1D rollout curves, one per timestep, colored by time
+        # (eval.py:395-409): Prediction panel above Ground Truth panel.
+        fig, (ax1, ax2) = plt.subplots(2, sharex=True, sharey=True)
+        cmap = plt.get_cmap("viridis")
+        for ti in range(T):
+            c = cmap(ti / max(T - 1, 1))
+            ax1.plot(x, preds[0, ti, 0], color=c, lw=0.5)
+            ax2.plot(x, trues[0, ti, 0], color=c, lw=0.5)
+        ax1.set_title("Prediction")
+        ax2.set_title("Ground Truth")
+        ax1.set_ylabel(r"$u_{\theta}(x)$")
+        ax2.set_ylabel(r"$u(x)$")
+        ax2.set_xlabel(r"$x$")
+        ax1.margins(x=0)
+        ax2.margins(x=0)
+        norm = mcolors.Normalize(vmin=0, vmax=T)
+        cbar = fig.colorbar(cm.ScalarMappable(norm=norm, cmap=cmap),
+                            ax=[ax1, ax2])
+        cbar.set_label("Timestep", rotation=270, labelpad=16)
+        fig.savefig(f"{out_dir}/plot1d.png", dpi=dpi)
+        plt.close(fig)
 
-    # 2D heatmaps (plot2d.png) — pred vs true over (t, x)
-    fig, axes = plt.subplots(d, 2, figsize=(10, 3 * d), squeeze=False)
-    for di in range(d):
-        axes[di][0].imshow(trues[0, :, di], aspect="auto", origin="lower")
-        axes[di][0].set_title(f"true component {di}")
-        axes[di][1].imshow(preds[0, :, di], aspect="auto", origin="lower")
-        axes[di][1].set_title(f"pred component {di}")
-    fig.tight_layout()
-    fig.savefig(f"{out_dir}/plot2d.png", dpi=120)
-    plt.close(fig)
+        # stacked pred/true heatmaps [grid point, timestep] (eval.py:410-425)
+        fig, (ax2, ax1) = plt.subplots(2, sharex=True, sharey=True)
+        ax1.imshow(preds[0, :, 0].T, aspect="auto")
+        ax2.imshow(trues[0, :, 0].T, aspect="auto")
+        ax1.set_title("Prediction")
+        ax2.set_title("Ground Truth")
+        ax1.set_xlabel("Timestep")
+        ax1.set_ylabel("Grid Point")
+        ax2.set_ylabel("Grid Point")
+        fig.savefig(f"{out_dir}/plot2d.png", dpi=dpi)
+        plt.close(fig)
+    else:
+        # 2-component system: the reference's 2x2 plot_2D layout
+        plot_2d_system(preds, trues, n=1, out_path=f"{out_dir}/plot2d.png",
+                       dpi=dpi)
+        # and a curves figure for the first component as plot1d
+        fig, (ax1, ax2) = plt.subplots(2, sharex=True, sharey=True)
+        cmap = plt.get_cmap("viridis")
+        for ti in range(T):
+            c = cmap(ti / max(T - 1, 1))
+            ax1.plot(x, preds[0, ti, 0], color=c, lw=0.5)
+            ax2.plot(x, trues[0, ti, 0], color=c, lw=0.5)
+        ax1.set_title("Prediction ($u_1$)")
+        ax2.set_title("Ground Truth ($u_1$)")
+        ax2.set_xlabel(r"$x$")
+        fig.savefig(f"{out_dir}/plot1d.png", dpi=dpi)
+        plt.close(fig)
 
-    # per-timestep relative error curve (plot_relerror.png)
+    # log-scale per-timestep relative error % (eval.py:426-446, 465-478)
     from msmp_pde_tpu.training.metrics import compute_space_l2_norms
 
     _, rel = compute_space_l2_norms(preds, trues)
-    fig, ax = plt.subplots(figsize=(6, 4))
-    ax.plot(rel)
-    ax.set_xlabel("rollout timestep")
-    ax.set_ylabel("relative L2 error")
+    fig, ax = plt.subplots()
+    ax.set_yscale("log")
+    ax.set_xlabel("Timestep")
+    ax.set_ylabel("Relative Error %")
+    fig.suptitle("Rollout Relative Error")
+    ax.plot(list(range(start_step, start_step + T)), 100 * rel)
     fig.tight_layout()
-    fig.savefig(f"{out_dir}/plot_relerror.png", dpi=120)
+    fig.savefig(f"{out_dir}/plot_relerror.png", dpi=dpi)
     plt.close(fig)
 
 
@@ -111,12 +180,16 @@ def main(args):
     horizon = preds.shape[1] - args.n_more_rollout * args.time_window
     plot_rollouts(preds[:, :horizon], trues[:, :horizon],
                   np.asarray(exp.spec.t_grid), np.asarray(exp.spec.x),
-                  data_family(args.experiment))
+                  data_family(args.experiment),
+                  start_step=args.time_window * args.nr_gt_steps)
     print("Plots written to plots/")
     if args.n_more_rollout:
+        # the reference's long-rollout plot flow (eval.py:725-733 + plot_2D)
+        plot_2d_system(preds, trues, n=1,
+                       out_path="plots/long_rollout2d.png")
         np.save("plots/long_rollout_pred.npy", preds)
-        print(f"Long rollout ({args.n_more_rollout} extra windows) saved to "
-              "plots/long_rollout_pred.npy")
+        print(f"Long rollout ({args.n_more_rollout} extra windows): "
+              "plots/long_rollout2d.png + plots/long_rollout_pred.npy")
     return preds, trues
 
 
