@@ -223,6 +223,7 @@ class MPSolver(nn.Module):
     tmax: float = 4.0
     dt: float = 4.0 / 249
     mp_impl: str = "auto"  # auto | pallas | xla (ops/mp_pallas.py)
+    lem_impl: str = "auto"  # auto | pallas | xla (ops/lem_pallas.py)
 
     @nn.compact
     def __call__(self, window, pos_x, t, var_vec, idx, mask, lem_state=None):
@@ -234,6 +235,7 @@ class MPSolver(nn.Module):
                 n_components=self.n_components, encoder="lem",
                 gate="sigmoid", decoder="diff_only", L=self.L,
                 tmax=self.tmax, dt=self.dt, mp_impl=self.mp_impl,
+                lem_impl=self.lem_impl,
             )
             diff, _ = MPSolver(**sub, name="diff_tower")(
                 window, pos_x, t, var_vec, idx, mask
@@ -351,9 +353,8 @@ class MPSolver(nn.Module):
                 init_state = jax.tree.map(
                     lambda s: s.reshape(B * nx, -1), lem_state
                 )
-            y, state = LEM(hidden=self.hidden, name="embedding_lem")(
-                seq, init_state
-            )
+            y, state = LEM(hidden=self.hidden, impl=self.lem_impl,
+                           name="embedding_lem")(seq, init_state)
             h = y.reshape(B, nx, self.hidden)
             new_state = (
                 jax.tree.map(lambda s: s.reshape(B, nx, -1), state)

@@ -36,10 +36,16 @@ from msmp_pde_tpu.models.common import torch_uniform_init
 class LEM(nn.Module):
     """Scan the cell over the leading time axis; returns the last y state
     (models_gnn.py:333-342) and the full (y, z) carry for the stateful
-    Save* variants (models_gnn.py:345-361)."""
+    Save* variants (models_gnn.py:345-361).
+
+    impl: "xla" (unrolled lax.scan), "pallas" (fused VMEM-resident scan with
+    BPTT backward, ops/lem_pallas.py — the TPU equivalent of the reference's
+    lem_cuda kernel), or "auto" (pallas on TPU). Exact parity asserted in
+    tests/test_lem_pallas.py."""
 
     hidden: int
     dt: float = 1.0
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, inputs, initial_state=None):
@@ -65,6 +71,20 @@ class LEM(nn.Module):
         flat = inputs.reshape(T * N, I)
         gx = (flat @ W_x.T + b).reshape(T, N, 3 * H)
         zx = (flat @ Wz_x.T + bz).reshape(T, N, H)
+
+        impl = self.impl
+        if impl == "auto":
+            # TODO(flip after TPU A/B validation): auto -> pallas on TPU
+            impl = "xla"
+        if impl == "pallas":
+            from msmp_pde_tpu.ops.lem_pallas import lem_scan
+
+            yT, zT = lem_scan(
+                gx, zx, initial_state[0], initial_state[1],
+                W_y.T, Wz_z.T, dt=float(self.dt),
+                interpret=jax.default_backend() != "tpu",
+            )
+            return yT, (yT, zT)
 
         dt = jnp.asarray(self.dt, inputs.dtype)
 

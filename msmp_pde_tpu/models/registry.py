@@ -30,9 +30,10 @@ def get_model(
     eq_var_names: Tuple[str, ...] = (),
     positions=None,
     mp_impl: str = "auto",
+    lem_impl: str = "auto",
 ) -> Tuple[object, str]:
     common = dict(tw=tw, layers=n_layers, L=L, tmax=tmax, dt=dt,
-                  mp_impl=mp_impl)
+                  mp_impl=mp_impl, lem_impl=lem_impl)
     g1 = dict(common, n_components=1)
     g2 = dict(common, n_components=2)
     # FNO param variants consume alpha/beta/gamma/D/r in 1D
