@@ -74,7 +74,14 @@ class LEM(nn.Module):
 
         impl = self.impl
         if impl == "auto":
-            # TODO(flip after TPU A/B validation): auto -> pallas on TPU
+            # Measured on a v5e chip (experiments/bench_pallas.py, full
+            # MSMP-PDE train pass at the E1 config): the unrolled-XLA scan
+            # beats the Pallas scan (5534 vs 4663 samples/s standalone;
+            # 5954 vs 5805 combined with the Pallas MP layer) — XLA
+            # pipelines the hoisted input projections into the short T=25
+            # recurrence better than the grid-sequential kernel. auto
+            # therefore stays on the XLA path; "pallas" remains available
+            # (exact parity asserted in tests/test_lem_pallas.py).
             impl = "xla"
         if impl == "pallas":
             from msmp_pde_tpu.ops.lem_pallas import lem_scan
