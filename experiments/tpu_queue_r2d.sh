@@ -14,6 +14,21 @@ while ! grep -q "QUEUE R2C COMPLETE" experiments/log/tpu_queue_r2c.log; do
 done
 echo "=== $(date +%H:%M:%S) r2c drained ==="
 
+# Mosaic-lowering smoke test of the rewritten fused MP layer (972e9d0)
+# before any training depends on it. Retries cover chip-release races.
+for attempt in 1 2 3; do
+  echo "=== $(date +%H:%M:%S) SMOKE mp_pallas (attempt $attempt) ==="
+  timeout 900 python experiments/smoke_mp_pallas_tpu.py \
+    > experiments/log/smoke_mp_pallas.log 2>&1
+  rc=$?
+  echo "=== $(date +%H:%M:%S) SMOKE exit $rc ==="
+  if [ $rc -eq 0 ]; then break; fi
+  sleep 30
+done
+if [ $rc -ne 0 ]; then
+  echo "SMOKE FAILED — trainings would fall back needed; continuing anyway"
+fi
+
 gen() {
   exp=$1; shift
   for attempt in 1 2 3; do
