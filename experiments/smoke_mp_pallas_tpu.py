@@ -5,9 +5,12 @@ compiles and runs the real kernel (fwd + bwd, E1 shapes: B=16, nx=100,
 K=7, H=128) on the chip and checks parity vs the XLA path. Exit 0 = safe
 for the queued training runs; non-zero = fall back to mp_impl=xla.
 """
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
@@ -39,21 +42,32 @@ def main():
                           ega=ega if use_pallas else None)
         return jnp.sum(out * r)
 
+    # Parity thresholds are RELATIVE: the XLA path and the kernel reduce in
+    # different orders and the MXU's f32 matmul is a multi-pass bf16
+    # decomposition, so absolute deltas scale with the reduction length.
+    # Semantic equivalence at 1e-7 is asserted separately in interpret mode
+    # (tests/test_mp_pallas.py) with the exact same bb configuration.
+    def relerr(a, b):
+        return float(jnp.max(jnp.abs(a - b)) /
+                     (1e-6 + jnp.max(jnp.abs(b))))
+
+    out_x = layer.apply(params, h, u, px, v, idx, mask)
+    out_p = layer.apply(params, h, u, px, v, idx, mask, ega=ega)
+    oerr = relerr(out_p, out_x)
+
     f_x = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)),
                   static_argnums=2)
     (lx, (gx_p, gx_h)) = f_x(params, h, False)
     (lp, (gp_p, gp_h)) = f_x(params, h, True)
-    derr = float(jnp.max(jnp.abs(gp_h - gx_h)))
-    lerr = abs(float(lp) - float(lx)) / max(1.0, abs(float(lx)))
-    print(f"loss rel err {lerr:.2e}  max|dh_pallas-dh_xla| {derr:.2e}",
-          flush=True)
-    ok = lerr < 1e-4 and derr < 5e-3
-    perrs = jax.tree.map(
-        lambda a, b: float(jnp.max(jnp.abs(a - b))), gp_p, gx_p
-    )
+    derr = relerr(gp_h, gx_h)
+    perrs = jax.tree.map(relerr, gp_p, gx_p)
     wmax = max(jax.tree.leaves(perrs))
-    print(f"max weight-grad err {wmax:.2e}", flush=True)
-    ok = ok and wmax < 5e-2  # sum over 1600 rows, f32
+    print(f"rel errs: out {oerr:.2e}  dh {derr:.2e}  weight-grads {wmax:.2e}",
+          flush=True)
+    # Weight-grad bound: measured against CPU-f32 ground truth, the TPU
+    # *XLA* path itself deviates 2-7e-3 relative (MXU bf16-pass
+    # accumulation over 1600-row sums); the kernel shows the same profile.
+    ok = oerr < 5e-3 and derr < 5e-3 and wmax < 2e-2
     print("SMOKE", "PASS" if ok else "FAIL", flush=True)
     return 0 if ok else 1
 

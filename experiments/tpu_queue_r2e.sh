@@ -18,6 +18,16 @@ run() {
   echo "=== $(date +%H:%M:%S) TRAIN done (exit $?): $* ==="
 }
 
+for attempt in 1 2 3; do
+  echo "=== $(date +%H:%M:%S) SMOKE mp_pallas (attempt $attempt) ==="
+  timeout 900 python experiments/smoke_mp_pallas_tpu.py \
+    > experiments/log/smoke_mp_pallas.log 2>&1
+  rc=$?
+  echo "=== $(date +%H:%M:%S) SMOKE exit $rc ==="
+  if [ $rc -eq 0 ]; then break; fi
+  sleep 30
+done
+
 echo "=== $(date +%H:%M:%S) re-bench Pallas A/B (batch-blocked kernel) ==="
 timeout 2400 python experiments/bench_pallas.py \
   > experiments/log/bench_pallas_r2e.log 2>&1

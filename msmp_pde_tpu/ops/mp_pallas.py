@@ -13,22 +13,21 @@ TPU-first design:
     kernel per layer instead of ~10 XLA ops, removing every inter-op HBM
     round trip (profiling showed the step is small-kernel/HBM bound).
 
-  * Edge structure exploits the dense [nx, K] neighbor-list layout
-    (data/graph.py) instead of generic scatter:
-      - node -> edge-row EXPANSION is a broadcast + reshape (row e=(i,k)
-        repeats node i K times) — free on the VPU, no matmul;
-      - the masked-mean AGGREGATION is a reshape to [nx, K, H], a multiply
-        by the per-slot weights mask/deg, and a sum over K — VPU only;
-      - only the true neighbor GATHER needs the one-hot matmul
-        G [nx*K, nx] (mask folded in) — it runs on the MXU and serves
-        stencil graphs AND unstructured kNN graphs (RPU/WE) alike. No
-        scatter, no dynamic indexing anywhere.
+  * The neighbor gather/scatter is expressed as matmuls with static 0/1
+    matrices (E expands nodes to edge rows, G gathers neighbors with the
+    validity mask folded in, A is the masked-mean aggregation) — everything
+    runs on the MXU, and the same kernel serves stencil graphs AND
+    unstructured kNN graphs (RPU/WE). No scatter, no dynamic indexing.
 
-  * The grid runs over batch BLOCKS of `bb` elements: dense matmuls see
-    [bb*nx, H] row tiles (full MXU utilization at nx=100) and the grid has
-    B/bb sequential steps instead of B. Per-element ops (gather matmul,
-    aggregation, instance norm) unroll over the block. `bb` is chosen per
-    call as the largest divisor of B whose working set fits VMEM.
+  * The grid runs over batch BLOCKS of `bb` elements: the dense MLP matmuls
+    see [bb*nx, H] row tiles (full MXU utilization at nx=100) and the grid
+    has B/bb sequential steps instead of B. Per-graph ops (E/G/A matmuls,
+    instance norm) unroll over the block with static 2-D row slices. `bb`
+    is chosen per call as the largest divisor of B whose working set fits
+    VMEM. Everything stays 2-D: Mosaic's relayout support for 3-D
+    broadcasts/reductions is incomplete (measured: a (bb, nx, H) axis-1
+    reduce_sum fails to lower on v5e), and 2-D slices+concats compile
+    cleanly.
 
   * Instance norm is per batch element; weight gradients accumulate across
     the sequential grid steps in VMEM.
@@ -53,21 +52,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def edge_matrices(idx, mask):
-    """Static gather matrix + aggregation weights from a dense neighbor list.
+    """Static gather/aggregation matrices from a dense neighbor list.
 
     idx [nx, K] int32, mask [nx, K] in {0,1}. Returns
-      G    [nx*K, nx]: row e=(i,k) one-hot at idx[i,k] * mask[i,k] (gather)
-      wdeg [nx, K]:    mask[i,k] / deg[i]  (masked-mean weights)
-    The expansion (node -> edge rows) and aggregation (edge rows -> node)
-    need no matrices: they are a broadcast and a weighted reshape-sum.
+      E [nx*K, nx]: row e=(i,k) one-hot at i      (expand node -> edge rows)
+      G [nx*K, nx]: row e one-hot at idx[i,k] * mask[i,k]   (gather)
+      A [nx, nx*K]: A[i, (i,k)] = mask[i,k]/deg[i]          (masked mean)
     """
     nx, K = idx.shape
     e = jnp.arange(nx * K)
+    rows_i = e // K
+    E = jnp.zeros((nx * K, nx), jnp.float32).at[e, rows_i].set(1.0)
     mflat = mask.reshape(-1).astype(jnp.float32)
     G = jnp.zeros((nx * K, nx), jnp.float32).at[e, idx.reshape(-1)].set(mflat)
     deg = jnp.maximum(mask.sum(-1), 1.0)
-    wdeg = mask.astype(jnp.float32) / deg[:, None]
-    return G, wdeg
+    A = jnp.zeros((nx, nx * K), jnp.float32).at[rows_i, e].set(
+        mflat / deg[rows_i]
+    )
+    return E, G, A
 
 
 def _swish(x):
@@ -91,47 +93,27 @@ def _dot_t(a, b):
     )
 
 
-def _expand(s, bb, nx, K):
-    """Node rows -> edge rows: repeat each node row K times.
-    s [bb*nx, H] -> [bb*nx*K, H] with row (b,i,k) = s[b,i]."""
-    H = s.shape[-1]
-    return jnp.broadcast_to(
-        s.reshape(bb * nx, 1, H), (bb * nx, K, H)
-    ).reshape(bb * nx * K, H)
+def _per_elem(mat, x, rows, bb):
+    """[bb] per-element matmuls mat @ x[e*rows:(e+1)*rows], stacked.
+    All 2-D: static row slices + a major-axis concat."""
+    outs = [_dot(mat, x[e * rows : (e + 1) * rows]) for e in range(bb)]
+    return outs[0] if bb == 1 else jnp.concatenate(outs, axis=0)
 
 
-def _aggregate(m, wdeg, bb, nx, K):
-    """Masked mean over each node's K edge slots.
-    m [bb*nx*K, H], wdeg [nx, K] -> [bb*nx, H]."""
-    H = m.shape[-1]
-    w = jnp.broadcast_to(wdeg.reshape(1, nx, K, 1), (bb, nx, K, 1))
-    return jnp.sum(
-        m.reshape(bb, nx, K, H) * w, axis=2
-    ).reshape(bb * nx, H)
-
-
-def _gather(G, s_j, bb, nx):
-    """Per-element one-hot gather: [bb] x (G [nE, nx] @ s_j_e [nx, H])."""
-    H = s_j.shape[-1]
-    s3 = s_j.reshape(bb, nx, H)
-    return jnp.concatenate(
-        [_dot(G, s3[e]) for e in range(bb)], axis=0
-    )
-
-
-def _forward_math(h, u, px, v, G, wdeg, W, final_act, residual, bb, nx, K):
-    """The layer math on stacked [bb*nx, .] operands; shared by both
+def _forward_math(h, u, px, v, E, G, A, W, final_act, residual, bb, nx):
+    """The layer math on stacked 2-D [bb*nx, .] operands; shared by both
     kernels."""
     (w_hi, w_hj, w_du, w_dx, w_v, b1, w2, b2, w3, b3, w4, b4) = W
     H = h.shape[-1]
     mix = _dot(u, w_du) + _dot(px, w_dx)
     s_i = _dot(h, w_hi) + mix + _dot(v, w_v) + b1
     s_j = _dot(h, w_hj) - mix
-    m0 = _expand(s_i, bb, nx, K) + _gather(G, s_j, bb, nx)
+    m0 = _per_elem(E, s_i, nx, bb) + _per_elem(G, s_j, nx, bb)
     m1 = _swish(m0)
     z2 = _dot(m1, w2) + b2
     m2 = _swish(z2)
-    agg = _aggregate(m2, wdeg, bb, nx, K)
+    nE = E.shape[0]
+    agg = _per_elem(A, m2, nE, bb)
     # update MLP on [h, agg, v]: w3 split by row blocks (no lane concat)
     V = v.shape[-1]
     z3 = (
@@ -148,64 +130,65 @@ def _forward_math(h, u, px, v, G, wdeg, W, final_act, residual, bb, nx, K):
 
 
 def _instnorm(o, bb, nx, eps=1e-5):
-    """Per-batch-element instance norm over the nx axis; o [bb*nx, H]."""
-    H = o.shape[-1]
-    o3 = o.reshape(bb, nx, H)
-    mu = jnp.mean(o3, axis=1, keepdims=True)
-    var = jnp.mean((o3 - mu) ** 2, axis=1, keepdims=True)
-    r = jax.lax.rsqrt(var + eps)
-    return ((o3 - mu) * r).reshape(bb * nx, H), r
+    """Per-batch-element instance norm over the nx axis; o [bb*nx, H].
+    2-D only: per-element row slices, stats reduce to [1, H]."""
+    outs, rs = [], []
+    for e in range(bb):
+        oe = o[e * nx : (e + 1) * nx]
+        mu = jnp.mean(oe, axis=0, keepdims=True)
+        var = jnp.mean((oe - mu) ** 2, axis=0, keepdims=True)
+        r = jax.lax.rsqrt(var + eps)
+        outs.append((oe - mu) * r)
+        rs.append(r)
+    if bb == 1:
+        return outs[0], rs
+    return jnp.concatenate(outs, axis=0), rs
 
 
-def _flat(ref, bb):
-    """Ref block [bb, nx, D] -> value [bb*nx, D]."""
-    v = ref[...]
-    return v.reshape(bb * v.shape[1], v.shape[2])
-
-
-def _fwd_kernel(h_ref, u_ref, px_ref, v_ref, G_ref, wdeg_ref, *rest,
-                final_act, residual, bb, nx, K):
+def _fwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
+                final_act, residual, bb, nx):
     *w_refs, out_ref = rest
     W = tuple(r[...] for r in w_refs)
-    H = h_ref.shape[-1]
     o, _ = _forward_math(
-        _flat(h_ref, bb), _flat(u_ref, bb), _flat(px_ref, bb),
-        _flat(v_ref, bb), G_ref[...], wdeg_ref[...], W,
-        final_act, residual, bb, nx, K,
+        h_ref[...], u_ref[...], px_ref[...], v_ref[...],
+        E_ref[...], G_ref[...], A_ref[...], W, final_act, residual, bb, nx,
     )
     xh, _ = _instnorm(o, bb, nx)
-    out_ref[...] = xh.reshape(bb, nx, H)
+    out_ref[...] = xh
 
 
-def _bwd_kernel(h_ref, u_ref, px_ref, v_ref, G_ref, wdeg_ref, *rest,
-                final_act, residual, bb, nx, K):
+def _bwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
+                final_act, residual, bb, nx):
     w_refs = rest[:12]
     g_ref = rest[12]
     dh_ref = rest[13]
     dw_refs = rest[14:]
     W = tuple(r[...] for r in w_refs)
     (w_hi, w_hj, w_du, w_dx, w_v, b1, w2, b2, w3, b3, w4, b4) = W
-    h, u, px, v = (_flat(h_ref, bb), _flat(u_ref, bb),
-                   _flat(px_ref, bb), _flat(v_ref, bb))
-    G, wdeg = G_ref[...], wdeg_ref[...]
+    h, u, px, v = h_ref[...], u_ref[...], px_ref[...], v_ref[...]
+    E, G, A = E_ref[...], G_ref[...], A_ref[...]
     H = h.shape[-1]
     V = v.shape[-1]
+    nE = E.shape[0]
 
     o, (s_i, s_j, m0, m1, z2, m2, agg, z3, a3, z4) = _forward_math(
-        h, u, px, v, G, wdeg, W, final_act, residual, bb, nx, K
+        h, u, px, v, E, G, A, W, final_act, residual, bb, nx
     )
-    xh, r = _instnorm(o, bb, nx)
+    xh, rs = _instnorm(o, bb, nx)
 
-    g = _flat(g_ref, bb)
-    # instance-norm backward (per-feature stats over the nx axis,
-    # per batch element)
-    g3 = g.reshape(bb, nx, H)
-    xh3 = xh.reshape(bb, nx, H)
-    dxo = (r * (
-        g3
-        - jnp.mean(g3, axis=1, keepdims=True)
-        - xh3 * jnp.mean(g3 * xh3, axis=1, keepdims=True)
-    )).reshape(bb * nx, H)
+    g = g_ref[...]
+    # instance-norm backward (per-feature stats over the nx axis, per
+    # batch element; 2-D row slices)
+    dxo_parts = []
+    for e in range(bb):
+        ge = g[e * nx : (e + 1) * nx]
+        xe = xh[e * nx : (e + 1) * nx]
+        dxo_parts.append(rs[e] * (
+            ge
+            - jnp.mean(ge, axis=0, keepdims=True)
+            - xe * jnp.mean(ge * xe, axis=0, keepdims=True)
+        ))
+    dxo = dxo_parts[0] if bb == 1 else jnp.concatenate(dxo_parts, axis=0)
     dh = dxo if residual else jnp.zeros_like(dxo)
     dz4 = dxo * _dswish(z4) if final_act else dxo
     dw4 = _dot_t(a3, dz4)
@@ -219,23 +202,14 @@ def _bwd_kernel(h_ref, u_ref, px_ref, v_ref, G_ref, wdeg_ref, *rest,
     dw3_v = _dot_t(v, dz3)
     dh = dh + _dot(dz3, w3[0:H, :].T)
     dagg = _dot(dz3, w3[H : 2 * H, :].T)
-    # aggregation backward: distribute dagg to each node's K slots
-    dm2 = (
-        dagg.reshape(bb, nx, 1, H)
-        * jnp.broadcast_to(wdeg.reshape(1, nx, K, 1), (bb, nx, K, 1))
-    ).reshape(bb * nx * K, H)
+    dm2 = _per_elem(A.T, dagg, nx, bb)
     dz2 = dm2 * _dswish(z2)
     dw2 = _dot_t(m1, dz2)
     db2 = jnp.sum(dz2, axis=0, keepdims=True)
     dm1 = _dot(dz2, w2.T)
     dm0 = dm1 * _dswish(m0)
-    # expansion backward: sum each node's K edge rows
-    ds_i = jnp.sum(dm0.reshape(bb, nx, K, H), axis=2).reshape(bb * nx, H)
-    # gather backward: per-element G^T @ dm0_e
-    dm0_3 = dm0.reshape(bb, nx * K, H)
-    ds_j = jnp.concatenate(
-        [_dot_t(G, dm0_3[e]) for e in range(bb)], axis=0
-    )
+    ds_i = _per_elem(E.T, dm0, nE, bb)
+    ds_j = _per_elem(G.T, dm0, nE, bb)
     dh = dh + _dot(ds_i, w_hi.T) + _dot(ds_j, w_hj.T)
     dw_hi = _dot_t(h, ds_i)
     dw_hj = _dot_t(h, ds_j)
@@ -245,7 +219,7 @@ def _bwd_kernel(h_ref, u_ref, px_ref, v_ref, G_ref, wdeg_ref, *rest,
     dw_v = _dot_t(v, ds_i)
     db1 = jnp.sum(ds_i, axis=0, keepdims=True)
 
-    dh_ref[...] = dh.reshape(bb, nx, H)
+    dh_ref[...] = dh
     dws = (dw_hi, dw_hj, dw_du, dw_dx, dw_v, db1, dw2, db2,
            jnp.concatenate([dw3_h, dw3_a, dw3_v], axis=0), db3, dw4, db4)
 
@@ -266,11 +240,13 @@ def _spec_full(shape):
                         memory_space=pltpu.VMEM)
 
 
-def _spec_batch(shape_tail, bb):
-    return pl.BlockSpec(
-        (bb,) + shape_tail, lambda b: (b,) + (0,) * len(shape_tail),
-        memory_space=pltpu.VMEM,
-    )
+def _spec_rows(rows, shape_tail):
+    """Batch-block of bb elements stored as stacked rows [bb*rows, ...]:
+    block b covers rows [b*bb*rows, (b+1)*bb*rows)."""
+    nd = len(shape_tail)
+    return pl.BlockSpec((rows,) + shape_tail,
+                        lambda b, nd=nd: (b,) + (0,) * nd,
+                        memory_space=pltpu.VMEM)
 
 
 def _pick_bb(B, nx, K, H, dtw, V, backward):
@@ -287,67 +263,76 @@ def make_fused_layer(final_act: bool, residual: bool, interpret: bool):
     """Build the custom-VJP fused layer for a static config.
 
     Signature: f(h [B,nx,H], u [B,nx,dtw], px [B,nx,1], v [B,nx,V],
-                 ega=(G, wdeg), W=12-tuple) -> [B,nx,H].
+                 ega=(E,G,A), W=12-tuple) -> [B,nx,H].
     """
+
+    def _flatten(x):
+        # [B, nx, D] -> [B*nx, D]: batch elements as stacked row blocks,
+        # done OUTSIDE the kernel so every in-kernel operand is 2-D.
+        return x.reshape(-1, x.shape[-1])
 
     def _run_fwd(h, u, px, v, ega, W):
         B, nx, H = h.shape
-        G, wdeg = ega
-        K = wdeg.shape[-1]
+        E, G, A = ega
+        K = E.shape[0] // nx
         bb = _pick_bb(B, nx, K, H, u.shape[-1], v.shape[-1], backward=False)
         kernel = functools.partial(
             _fwd_kernel, final_act=final_act, residual=residual,
-            bb=bb, nx=nx, K=K,
+            bb=bb, nx=nx,
         )
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid=(B // bb,),
             in_specs=[
-                _spec_batch(h.shape[1:], bb),
-                _spec_batch(u.shape[1:], bb),
-                _spec_batch(px.shape[1:], bb),
-                _spec_batch(v.shape[1:], bb),
+                _spec_rows(bb * nx, h.shape[2:]),
+                _spec_rows(bb * nx, u.shape[2:]),
+                _spec_rows(bb * nx, px.shape[2:]),
+                _spec_rows(bb * nx, v.shape[2:]),
+                _spec_full(E.shape),
                 _spec_full(G.shape),
-                _spec_full(wdeg.shape),
+                _spec_full(A.shape),
             ] + [_spec_full(w.shape) for w in W],
-            out_specs=_spec_batch((nx, H), bb),
-            out_shape=jax.ShapeDtypeStruct((B, nx, H), h.dtype),
+            out_specs=_spec_rows(bb * nx, (H,)),
+            out_shape=jax.ShapeDtypeStruct((B * nx, H), h.dtype),
             interpret=interpret,
-        )(h, u, px, v, G, wdeg, *W)
+        )(_flatten(h), _flatten(u), _flatten(px), _flatten(v), E, G, A, *W)
+        return out.reshape(B, nx, H)
 
     def _run_bwd(h, u, px, v, ega, W, g):
         B, nx, H = h.shape
-        G, wdeg = ega
-        K = wdeg.shape[-1]
+        E, G, A = ega
+        K = E.shape[0] // nx
         bb = _pick_bb(B, nx, K, H, u.shape[-1], v.shape[-1], backward=True)
         kernel = functools.partial(
             _bwd_kernel, final_act=final_act, residual=residual,
-            bb=bb, nx=nx, K=K,
+            bb=bb, nx=nx,
         )
-        out_shapes = [jax.ShapeDtypeStruct((B, nx, H), h.dtype)] + [
+        out_shapes = [jax.ShapeDtypeStruct((B * nx, H), h.dtype)] + [
             jax.ShapeDtypeStruct(_grad_shape(w.shape), jnp.float32) for w in W
         ]
-        out_specs = [_spec_batch((nx, H), bb)] + [
+        out_specs = [_spec_rows(bb * nx, (H,))] + [
             _spec_full(_grad_shape(w.shape)) for w in W
         ]
         outs = pl.pallas_call(
             kernel,
             grid=(B // bb,),
             in_specs=[
-                _spec_batch(h.shape[1:], bb),
-                _spec_batch(u.shape[1:], bb),
-                _spec_batch(px.shape[1:], bb),
-                _spec_batch(v.shape[1:], bb),
+                _spec_rows(bb * nx, h.shape[2:]),
+                _spec_rows(bb * nx, u.shape[2:]),
+                _spec_rows(bb * nx, px.shape[2:]),
+                _spec_rows(bb * nx, v.shape[2:]),
+                _spec_full(E.shape),
                 _spec_full(G.shape),
-                _spec_full(wdeg.shape),
+                _spec_full(A.shape),
             ]
             + [_spec_full(w.shape) for w in W]
-            + [_spec_batch((nx, H), bb)],
+            + [_spec_rows(bb * nx, (H,))],
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shapes),
             interpret=interpret,
-        )(h, u, px, v, G, wdeg, *W, g)
-        dh, dws = outs[0], outs[1:]
+        )(_flatten(h), _flatten(u), _flatten(px), _flatten(v), E, G, A,
+          *W, _flatten(g))
+        dh, dws = outs[0].reshape(B, nx, H), outs[1:]
         # biases were computed as [1, H]; restore param shapes
         dws = tuple(dw.reshape(w.shape) for dw, w in zip(dws, W))
         return dh, dws
@@ -394,7 +379,7 @@ def vmem_estimate(nx: int, K: int, H: int, dtw: int, V: int,
     n_edge = 8 if backward else 4        # m0/m1/z2/m2 (+ grads in bwd)
     edge_bufs = n_edge * bb * edges * H
     node_bufs = (14 if backward else 10) * bb * nx * H
-    mats = edges * nx + nx * K           # G + wdeg
+    mats = 2 * edges * nx + nx * edges   # E, G, A
     weights = (2 if backward else 1) * (
         2 * H * H + (2 * H + V) * H + H * H + (dtw + 1 + V) * H
     )
