@@ -41,7 +41,21 @@ import numpy as np
 def _setup_jax(platform: str, dtype: str):
     import jax
 
-    if platform != "default":
+    if platform == "tpu":
+        # On hosts where the chip is reached through a tunnel plugin (e.g.
+        # axon) the platform is not named "tpu": probe the local tpu
+        # plugin, and on failure fall back to the ambient default (which
+        # resolves to the tunnel's TPU backend).
+        try:
+            jax.config.update("jax_platforms", "tpu")
+            jax.devices()
+        except RuntimeError:
+            jax.config.update("jax_platforms", None)
+            dev = jax.devices()[0]
+            if dev.platform not in ("tpu", "axon") and \
+                    "TPU" not in str(dev.device_kind):
+                raise
+    elif platform != "default":
         jax.config.update("jax_platforms", platform)
     if dtype == "float64":
         jax.config.update("jax_enable_x64", True)
