@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def make_trainer(mp_impl: str, n_layers=6, nx=100, tw=25,
-                 lem_impl: str = "xla"):
+                 lem_impl: str = "xla", mp_precision: str = "float32"):
     import jax.numpy as jnp
 
     from msmp_pde_tpu.data.graph import GraphSpec, build_neighbors_radius
@@ -32,16 +32,18 @@ def make_trainer(mp_impl: str, n_layers=6, nx=100, tw=25,
     )
     model, kind = get_model("MSMP-PDE", tw=tw, n_eq_vars=0, L=16.0, tmax=4.0,
                             dt=spec.dt, n_layers=n_layers, mp_impl=mp_impl,
-                            lem_impl=lem_impl)
+                            lem_impl=lem_impl, mp_precision=mp_precision)
     return Trainer(model=model, kind=kind, spec=spec, eq_norms={})
 
 
 def bench_impl(mp_impl: str, B=16, nx=100, nt=250, tw=25, n_steps=64,
-               n_passes=3, lem_impl: str = "xla"):
+               n_passes=3, lem_impl: str = "xla",
+               mp_precision: str = "float32"):
     import jax
     import jax.numpy as jnp
 
-    trainer = make_trainer(mp_impl, nx=nx, tw=tw, lem_impl=lem_impl)
+    trainer = make_trainer(mp_impl, nx=nx, tw=tw, lem_impl=lem_impl,
+                           mp_precision=mp_precision)
     rng = np.random.default_rng(0)
     u_all = jnp.asarray(rng.normal(size=(256, nt, nx)).astype(np.float32))
     params = trainer.init_params(jax.random.PRNGKey(0), batch_size=B)
@@ -70,7 +72,7 @@ def bench_impl(mp_impl: str, B=16, nx=100, nt=250, tw=25, n_steps=64,
     dt = time.perf_counter() - t0
     sps = n_passes * n_steps * B / dt
     ms_per_step = 1000 * dt / (n_passes * n_steps)
-    print(f"[mp={mp_impl} lem={lem_impl}] compile {compile_s:.1f}s | {ms_per_step:.3f} ms/step "
+    print(f"[mp={mp_impl}/{mp_precision} lem={lem_impl}] compile {compile_s:.1f}s | {ms_per_step:.3f} ms/step "
           f"| {sps:.0f} samples/s | losses finite: "
           f"{bool(np.isfinite(np.asarray(losses)).all())}", flush=True)
     return sps
@@ -81,12 +83,16 @@ def main():
 
     print("backend:", jax.default_backend(), jax.devices())
     r = {}
-    for mp in ("xla", "pallas"):
-        for lem in ("xla", "pallas"):
-            r[(mp, lem)] = bench_impl(mp, lem_impl=lem)
-    base = r[("xla", "xla")]
+    for mp, lem, prec in (
+        ("xla", "xla", "float32"),
+        ("pallas", "xla", "float32"),
+        ("pallas", "xla", "bfloat16"),
+        ("pallas", "pallas", "bfloat16"),
+    ):
+        r[(mp, lem, prec)] = bench_impl(mp, lem_impl=lem, mp_precision=prec)
+    base = r[("xla", "xla", "float32")]
     for k, v in r.items():
-        print(f"mp={k[0]:6s} lem={k[1]:6s}: {v:.0f} samples/s "
+        print(f"mp={k[0]:6s}/{k[2]:8s} lem={k[1]:6s}: {v:.0f} samples/s "
               f"({v / base:.2f}x vs xla/xla)")
 
 

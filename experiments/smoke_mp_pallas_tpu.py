@@ -35,7 +35,7 @@ def main():
 
     layer = GNNLayer(hidden=H, final_act=True, residual=True)
     params = layer.init(jax.random.PRNGKey(0), h, u, px, v, idx, mask)
-    ega = (edge_matrices(idx, mask), False)  # compiled, not interpret
+    ega = (edge_matrices(idx, mask), False, "float32")  # compiled
 
     def loss(p, hh, use_pallas):
         out = layer.apply(p, hh, u, px, v, idx, mask,

@@ -106,12 +106,12 @@ class GNNLayer(nn.Module):
             w4, b4 = TorchDense(self.hidden)(
                 jnp.zeros((1, H), h.dtype), params_only=True
             )
-            ega_mats, interpret = ega
+            ega_mats, interpret, mm_dtype = ega
             return fused_mp_layer(
                 h, u, px[..., None], variables, ega_mats,
                 (w_hi, w_hj, w_du, w_dx, w_v, b1, w2, b2, w3, b3, w4, b4),
                 final_act=self.final_act, residual=self.residual,
-                interpret=interpret,
+                interpret=interpret, mm_dtype=mm_dtype,
             )
 
         m = fe(h, u, px, variables, idx)
@@ -224,6 +224,7 @@ class MPSolver(nn.Module):
     dt: float = 4.0 / 249
     mp_impl: str = "auto"  # auto | pallas | xla (ops/mp_pallas.py)
     lem_impl: str = "auto"  # auto | pallas | xla (ops/lem_pallas.py)
+    mp_precision: str = "float32"  # float32 | bfloat16 (Pallas matmul operands)
 
     @nn.compact
     def __call__(self, window, pos_x, t, var_vec, idx, mask, lem_state=None):
@@ -235,7 +236,7 @@ class MPSolver(nn.Module):
                 n_components=self.n_components, encoder="lem",
                 gate="sigmoid", decoder="diff_only", L=self.L,
                 tmax=self.tmax, dt=self.dt, mp_impl=self.mp_impl,
-                lem_impl=self.lem_impl,
+                lem_impl=self.lem_impl, mp_precision=self.mp_precision,
             )
             diff, _ = MPSolver(**sub, name="diff_tower")(
                 window, pos_x, t, var_vec, idx, mask
@@ -310,7 +311,7 @@ class MPSolver(nn.Module):
                             variables.shape[-1])
         if self.mp_impl == "auto" and est > 10 * 2**20:
             return None
-        return edge_matrices(idx, mask), backend != "tpu"
+        return edge_matrices(idx, mask), backend != "tpu", self.mp_precision
 
     # ------------------------------------------------------------ encoder
     def _encode(self, window, px_n, t, variables, lem_state):

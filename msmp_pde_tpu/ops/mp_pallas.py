@@ -81,49 +81,57 @@ def _dswish(x):
     return s * (1.0 + x * (1.0 - s))
 
 
-def _dot(a, b):
+def _dot(a, b, mm=None):
+    """a @ b with f32 accumulation. ``mm=bfloat16`` casts the operands so
+    the MXU does one bf16 pass instead of the multi-pass f32 emulation
+    (v5e: ~4x matmul throughput); the output stays f32."""
+    if mm is not None:
+        a, b = a.astype(mm), b.astype(mm)
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _dot_t(a, b):
+def _dot_t(a, b, mm=None):
     """a^T @ b contracting the leading axis of both."""
+    if mm is not None:
+        a, b = a.astype(mm), b.astype(mm)
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
-def _per_elem(mat, x, rows, bb):
+def _per_elem(mat, x, rows, bb, mm=None):
     """[bb] per-element matmuls mat @ x[e*rows:(e+1)*rows], stacked.
     All 2-D: static row slices + a major-axis concat."""
-    outs = [_dot(mat, x[e * rows : (e + 1) * rows]) for e in range(bb)]
+    outs = [_dot(mat, x[e * rows : (e + 1) * rows], mm) for e in range(bb)]
     return outs[0] if bb == 1 else jnp.concatenate(outs, axis=0)
 
 
-def _forward_math(h, u, px, v, E, G, A, W, final_act, residual, bb, nx):
+def _forward_math(h, u, px, v, E, G, A, W, final_act, residual, bb, nx,
+                  mm=None):
     """The layer math on stacked 2-D [bb*nx, .] operands; shared by both
     kernels."""
     (w_hi, w_hj, w_du, w_dx, w_v, b1, w2, b2, w3, b3, w4, b4) = W
     H = h.shape[-1]
-    mix = _dot(u, w_du) + _dot(px, w_dx)
-    s_i = _dot(h, w_hi) + mix + _dot(v, w_v) + b1
-    s_j = _dot(h, w_hj) - mix
-    m0 = _per_elem(E, s_i, nx, bb) + _per_elem(G, s_j, nx, bb)
+    mix = _dot(u, w_du, mm) + _dot(px, w_dx, mm)
+    s_i = _dot(h, w_hi, mm) + mix + _dot(v, w_v, mm) + b1
+    s_j = _dot(h, w_hj, mm) - mix
+    m0 = _per_elem(E, s_i, nx, bb, mm) + _per_elem(G, s_j, nx, bb, mm)
     m1 = _swish(m0)
-    z2 = _dot(m1, w2) + b2
+    z2 = _dot(m1, w2, mm) + b2
     m2 = _swish(z2)
     nE = E.shape[0]
-    agg = _per_elem(A, m2, nE, bb)
+    agg = _per_elem(A, m2, nE, bb, mm)
     # update MLP on [h, agg, v]: w3 split by row blocks (no lane concat)
     V = v.shape[-1]
     z3 = (
-        _dot(h, w3[0:H, :])
-        + _dot(agg, w3[H : 2 * H, :])
-        + _dot(v, w3[2 * H : 2 * H + V, :])
+        _dot(h, w3[0:H, :], mm)
+        + _dot(agg, w3[H : 2 * H, :], mm)
+        + _dot(v, w3[2 * H : 2 * H + V, :], mm)
         + b3
     )
     a3 = _swish(z3)
-    z4 = _dot(a3, w4) + b4
+    z4 = _dot(a3, w4, mm) + b4
     o = _swish(z4) if final_act else z4
     o = h + o if residual else o
     return o, (s_i, s_j, m0, m1, z2, m2, agg, z3, a3, z4)
@@ -146,19 +154,20 @@ def _instnorm(o, bb, nx, eps=1e-5):
 
 
 def _fwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
-                final_act, residual, bb, nx):
+                final_act, residual, bb, nx, mm=None):
     *w_refs, out_ref = rest
     W = tuple(r[...] for r in w_refs)
     o, _ = _forward_math(
         h_ref[...], u_ref[...], px_ref[...], v_ref[...],
         E_ref[...], G_ref[...], A_ref[...], W, final_act, residual, bb, nx,
+        mm=mm,
     )
     xh, _ = _instnorm(o, bb, nx)
     out_ref[...] = xh
 
 
 def _bwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
-                final_act, residual, bb, nx):
+                final_act, residual, bb, nx, mm=None):
     w_refs = rest[:12]
     g_ref = rest[12]
     dh_ref = rest[13]
@@ -172,7 +181,7 @@ def _bwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
     nE = E.shape[0]
 
     o, (s_i, s_j, m0, m1, z2, m2, agg, z3, a3, z4) = _forward_math(
-        h, u, px, v, E, G, A, W, final_act, residual, bb, nx
+        h, u, px, v, E, G, A, W, final_act, residual, bb, nx, mm=mm
     )
     xh, rs = _instnorm(o, bb, nx)
 
@@ -191,32 +200,32 @@ def _bwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
     dxo = dxo_parts[0] if bb == 1 else jnp.concatenate(dxo_parts, axis=0)
     dh = dxo if residual else jnp.zeros_like(dxo)
     dz4 = dxo * _dswish(z4) if final_act else dxo
-    dw4 = _dot_t(a3, dz4)
+    dw4 = _dot_t(a3, dz4, mm)
     db4 = jnp.sum(dz4, axis=0, keepdims=True)
-    da3 = _dot(dz4, w4.T)
+    da3 = _dot(dz4, w4.T, mm)
     dz3 = da3 * _dswish(z3)
     db3 = jnp.sum(dz3, axis=0, keepdims=True)
     # dW3 row blocks from [h, agg, v]
-    dw3_h = _dot_t(h, dz3)
-    dw3_a = _dot_t(agg, dz3)
-    dw3_v = _dot_t(v, dz3)
-    dh = dh + _dot(dz3, w3[0:H, :].T)
-    dagg = _dot(dz3, w3[H : 2 * H, :].T)
-    dm2 = _per_elem(A.T, dagg, nx, bb)
+    dw3_h = _dot_t(h, dz3, mm)
+    dw3_a = _dot_t(agg, dz3, mm)
+    dw3_v = _dot_t(v, dz3, mm)
+    dh = dh + _dot(dz3, w3[0:H, :].T, mm)
+    dagg = _dot(dz3, w3[H : 2 * H, :].T, mm)
+    dm2 = _per_elem(A.T, dagg, nx, bb, mm)
     dz2 = dm2 * _dswish(z2)
-    dw2 = _dot_t(m1, dz2)
+    dw2 = _dot_t(m1, dz2, mm)
     db2 = jnp.sum(dz2, axis=0, keepdims=True)
-    dm1 = _dot(dz2, w2.T)
+    dm1 = _dot(dz2, w2.T, mm)
     dm0 = dm1 * _dswish(m0)
-    ds_i = _per_elem(E.T, dm0, nE, bb)
-    ds_j = _per_elem(G.T, dm0, nE, bb)
-    dh = dh + _dot(ds_i, w_hi.T) + _dot(ds_j, w_hj.T)
-    dw_hi = _dot_t(h, ds_i)
-    dw_hj = _dot_t(h, ds_j)
+    ds_i = _per_elem(E.T, dm0, nE, bb, mm)
+    ds_j = _per_elem(G.T, dm0, nE, bb, mm)
+    dh = dh + _dot(ds_i, w_hi.T, mm) + _dot(ds_j, w_hj.T, mm)
+    dw_hi = _dot_t(h, ds_i, mm)
+    dw_hj = _dot_t(h, ds_j, mm)
     dmix = ds_i - ds_j
-    dw_du = _dot_t(u, dmix)
-    dw_dx = _dot_t(px, dmix)
-    dw_v = _dot_t(v, ds_i)
+    dw_du = _dot_t(u, dmix, mm)
+    dw_dx = _dot_t(px, dmix, mm)
+    dw_v = _dot_t(v, ds_i, mm)
     db1 = jnp.sum(ds_i, axis=0, keepdims=True)
 
     dh_ref[...] = dh
@@ -259,12 +268,20 @@ def _pick_bb(B, nx, K, H, dtw, V, backward):
 
 
 @functools.lru_cache(maxsize=None)
-def make_fused_layer(final_act: bool, residual: bool, interpret: bool):
+def make_fused_layer(final_act: bool, residual: bool, interpret: bool,
+                     mm_dtype: str = "float32"):
     """Build the custom-VJP fused layer for a static config.
 
     Signature: f(h [B,nx,H], u [B,nx,dtw], px [B,nx,1], v [B,nx,V],
                  ega=(E,G,A), W=12-tuple) -> [B,nx,H].
+
+    ``mm_dtype="bfloat16"`` runs every matmul with bf16 operands and f32
+    accumulation (one MXU pass; activations, norm statistics, and weight-
+    gradient accumulation stay f32). The 0/1 gather matrices are exact in
+    bf16; the masked-mean 1/deg entries round at bf16 ulp (2^-8), the same
+    order as the operand rounding itself.
     """
+    mm = None if mm_dtype == "float32" else jnp.dtype(mm_dtype)
 
     def _flatten(x):
         # [B, nx, D] -> [B*nx, D]: batch elements as stacked row blocks,
@@ -278,7 +295,7 @@ def make_fused_layer(final_act: bool, residual: bool, interpret: bool):
         bb = _pick_bb(B, nx, K, H, u.shape[-1], v.shape[-1], backward=False)
         kernel = functools.partial(
             _fwd_kernel, final_act=final_act, residual=residual,
-            bb=bb, nx=nx,
+            bb=bb, nx=nx, mm=mm,
         )
         out = pl.pallas_call(
             kernel,
@@ -305,7 +322,7 @@ def make_fused_layer(final_act: bool, residual: bool, interpret: bool):
         bb = _pick_bb(B, nx, K, H, u.shape[-1], v.shape[-1], backward=True)
         kernel = functools.partial(
             _bwd_kernel, final_act=final_act, residual=residual,
-            bb=bb, nx=nx,
+            bb=bb, nx=nx, mm=mm,
         )
         out_shapes = [jax.ShapeDtypeStruct((B * nx, H), h.dtype)] + [
             jax.ShapeDtypeStruct(_grad_shape(w.shape), jnp.float32) for w in W
@@ -361,10 +378,10 @@ def _grad_shape(shape):
 
 
 def fused_mp_layer(h, u, px, v, ega, W, *, final_act: bool, residual: bool,
-                   interpret: bool = False):
+                   interpret: bool = False, mm_dtype: str = "float32"):
     """Apply the fused layer; biases in W may be 1-D (reshaped to [1,H])."""
     W2d = tuple(w[None] if w.ndim == 1 else w for w in W)
-    out = make_fused_layer(final_act, residual, interpret)(
+    out = make_fused_layer(final_act, residual, interpret, mm_dtype)(
         h, u, px, v, tuple(ega), W2d
     )
     return out

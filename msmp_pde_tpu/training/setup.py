@@ -141,6 +141,7 @@ def setup_experiment(args, modes=("train", "valid", "test"),
         n_layers=args.n_graph_layers,
         eq_var_names=tuple(eq_norms.keys()),
         positions=np.asarray(ds0.x),
+        mp_precision=getattr(args, "mp_precision", "float32"),
     )
     trainer = Trainer(model=model, kind=kind, spec=spec, eq_norms=eq_norms)
     return Experiment(

@@ -228,6 +228,10 @@ def build_parser():
     p.add_argument("--data_suffix", type=str, default="",
                    help="dataset filename suffix, e.g. '_I' for the "
                         "interpolated RPU files")
+    p.add_argument("--mp_precision", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="matmul operand dtype inside the fused Pallas MP "
+                        "kernel (f32 accumulation either way)")
     return p
 
 

@@ -39,7 +39,7 @@ def test_forward_parity(graph, final_act, residual):
     layer = GNNLayer(hidden=32, final_act=final_act, residual=residual)
     params = layer.init(jax.random.PRNGKey(0), h, u, px, v, idx, mask)
     out_xla = layer.apply(params, h, u, px, v, idx, mask)
-    ega = (edge_matrices(idx, mask), True)  # interpret mode off-TPU
+    ega = (edge_matrices(idx, mask), True, "float32")  # interpret off-TPU
     out_pal = layer.apply(params, h, u, px, v, idx, mask, ega=ega)
     np.testing.assert_allclose(
         np.asarray(out_pal), np.asarray(out_xla), rtol=2e-5, atol=2e-5
@@ -53,7 +53,7 @@ def test_gradient_parity():
     r = jnp.asarray(
         np.random.default_rng(7).normal(size=(3, 24, 32)).astype(np.float32)
     )
-    ega = (edge_matrices(idx, mask), True)
+    ega = (edge_matrices(idx, mask), True, "float32")
 
     def loss(p, h, use_pallas):
         out = layer.apply(p, h, u, px, v, idx, mask,
@@ -99,3 +99,53 @@ def test_full_model_parity():
                              jnp.asarray(idx), jnp.asarray(mask))
         outs.append(np.asarray(out))
     np.testing.assert_allclose(outs[1], outs[0], rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_forward_close():
+    """mm_dtype=bfloat16 keeps f32 accumulation: outputs stay within bf16
+    operand-rounding distance (~2^-8 relative) of the f32 path."""
+    h, u, px, v, idx, mask = _inputs()
+    layer = GNNLayer(hidden=32, final_act=True, residual=True)
+    params = layer.init(jax.random.PRNGKey(0), h, u, px, v, idx, mask)
+    out_f32 = layer.apply(
+        params, h, u, px, v, idx, mask,
+        ega=(edge_matrices(idx, mask), True, "float32"),
+    )
+    out_bf16 = layer.apply(
+        params, h, u, px, v, idx, mask,
+        ega=(edge_matrices(idx, mask), True, "bfloat16"),
+    )
+    assert out_bf16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(out_bf16), np.asarray(out_f32), rtol=5e-2, atol=5e-2
+    )
+    # and it must actually differ (i.e. the cast is live, not a no-op)
+    assert np.abs(np.asarray(out_bf16) - np.asarray(out_f32)).max() > 1e-6
+
+
+def test_bf16_gradient_close():
+    h, u, px, v, idx, mask = _inputs()
+    layer = GNNLayer(hidden=32, final_act=False, residual=False)
+    params = layer.init(jax.random.PRNGKey(0), h, u, px, v, idx, mask)
+    r = jnp.asarray(
+        np.random.default_rng(7).normal(size=(3, 24, 32)).astype(np.float32)
+    )
+
+    def loss(p, h, mm):
+        out = layer.apply(p, h, u, px, v, idx, mask,
+                          ega=(edge_matrices(idx, mask), True, mm))
+        return jnp.sum(out * r)
+
+    gx_p, gx_h = jax.grad(loss, argnums=(0, 1))(params, h, "float32")
+    gb_p, gb_h = jax.grad(loss, argnums=(0, 1))(params, h, "bfloat16")
+    np.testing.assert_allclose(np.asarray(gb_h), np.asarray(gx_h),
+                               rtol=1e-1, atol=1e-1)
+
+    def check(path, vx, vb):
+        scale = max(np.abs(np.asarray(vx)).max(), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(vb) / scale, np.asarray(vx) / scale,
+            rtol=1e-1, atol=2e-2, err_msg=str(path),
+        )
+
+    jax.tree_util.tree_map_with_path(check, gx_p, gb_p)
