@@ -76,7 +76,8 @@ def fit(args, exp, data, save_path: str):
     n_batches = max(1, int(u_train.shape[0]) // args.batch_size)
     tx = trainer.make_optimizer(
         args.lr, args.lr_decay,
-        milestones=[args.unrolling, 5, 10, 15],
+        milestones=(list(args.milestones) if args.milestones
+                    else [args.unrolling, 5, 10, 15]),
         steps_per_epoch=t_res * n_batches,
     )
     opt_state = tx.init(params)
@@ -196,6 +197,9 @@ def build_parser():
     p.add_argument("--num_epochs", type=int, default=20)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--lr_decay", type=float, default=0.4)
+    p.add_argument("--milestones", type=int, nargs="*", default=None,
+                   help="MultiStepLR epoch milestones (default: reference "
+                        "schedule [unrolling, 5, 10, 15], train.py:410-411)")
     p.add_argument("--parameter_ablation", type=eval, default=False)
     p.add_argument(
         "--base_resolution",
