@@ -1,8 +1,9 @@
 #!/bin/bash
 # Round-2h TPU queue: runs after r2g drains.
-# Full-scale accuracy validation of the bf16 MP-kernel path: E1 MSMP-PDE,
-# reference default config, --mp_precision=bfloat16. Gate: test rel-L2
-# within noise of the f32 run (6.76%).
+# CANCELLED mid-round (replaced by a pass-through): the on-chip A/B showed
+# bf16 operands are SLOWER in this kernel (RESULTS.md, 2026-08-17) —
+# Mosaic relayout cost of the casts exceeds the saved MXU passes at these
+# shapes. Script kept for the record.
 set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
