@@ -232,3 +232,37 @@ class TestFusedPass:
         b = jax.tree.leaves(p2)[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+class TestMilestonesFlag:
+    def test_custom_milestones_change_the_decay_points(self):
+        """--milestones (training/train.py) feeds make_optimizer directly;
+        a 30-epoch-fitted schedule must decay at the requested epochs, not
+        the reference defaults."""
+        from msmp_pde_tpu.training.train import build_parser
+
+        a = build_parser().parse_args(["--experiment=E1", "--model=MP-PDE"])
+        assert a.milestones is None  # default -> reference schedule
+        a = build_parser().parse_args(
+            ["--experiment=E1", "--model=MP-PDE",
+             "--milestones", "1", "12", "20", "26"])
+        assert a.milestones == [1, 12, 20, 26]
+
+        trainer = small_trainer()
+        spe = 7
+        params = trainer.init_params(jax.random.PRNGKey(0), batch_size=2)
+        g = jax.tree.map(jnp.ones_like, params)
+
+        def lr_at_epoch(milestones, epoch):
+            tx = trainer.make_optimizer(1e-4, 0.4, milestones, spe)
+            st = tx.init(params)
+            for _ in range(epoch * spe + 1):
+                up, st = tx.update(g, st, params)
+            return float(jnp.abs(jax.tree.leaves(up)[0]).mean())
+
+        # at epoch 15 the reference schedule has decayed 4x, the long
+        # schedule only 2x (AdamW with unit grads: |update| ~ lr)
+        ref = lr_at_epoch([1, 5, 10, 15], 15)
+        lng = lr_at_epoch([1, 12, 20, 26], 15)
+        assert np.isclose(ref, 1e-4 * 0.4 ** 4, rtol=0.2), ref
+        assert np.isclose(lng, 1e-4 * 0.4 ** 2, rtol=0.2), lng
