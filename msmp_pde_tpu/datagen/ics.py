@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.special import i0 as _i0
+from jax.scipy.special import i0e as _i0e
 
 
 def sample_sine_params(key, batch: int, n_waves: int, lmin: int, lmax: int):
@@ -63,8 +63,15 @@ def pseudo_random_grid(xmin: float, xmax: float, n: int) -> np.ndarray:
 
 
 def von_mises_pdf(x, kappa, loc=0.0):
-    """Wrapped-Gaussian density exp(kappa cos(x-loc)) / (2 pi I0(kappa))."""
-    return jnp.exp(kappa * jnp.cos(x - loc)) / (2.0 * jnp.pi * _i0(kappa))
+    """Wrapped-Gaussian density exp(kappa cos(x-loc)) / (2 pi I0(kappa)).
+
+    Computed in log space with the exponentially-scaled Bessel i0e
+    (I0(k) = e^k i0e(k)): exp(k cos d - k) never overflows, so the f32 TPU
+    datagen path stays finite for MSWG3's kappa in [50, 150] — the naive
+    form hits exp(150)/I0(150) = inf/inf = NaN in f32 (reference evaluates
+    the same formula in f64 only, generate_data.py:22-62)."""
+    d = x - loc
+    return jnp.exp(kappa * (jnp.cos(d) - 1.0)) / (2.0 * jnp.pi * _i0e(kappa))
 
 
 # --- AD / RP initial-condition families ------------------------------------

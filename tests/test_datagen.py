@@ -112,3 +112,38 @@ class TestEndToEnd:
             # chebyshev grid attr, ascending, endpoints at domain bounds
             x = g["pde_250-100"].attrs["x"]
             assert x[0] == -8.0 and x[-1] == 8.0 and (np.diff(x) > 0).all()
+
+
+class TestVonMisesF32Stability:
+    def test_gaussian_triple_ic_finite_in_f32(self):
+        """MSWG3's sharpness kappa ~ U(50, 150) overflows the naive
+        exp(k cos)/I0(k) form in f32 (exp(150) = inf -> inf/inf = NaN on
+        the TPU datagen path); the log-space i0e form must stay finite and
+        normalized."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from msmp_pde_tpu.datagen import ics
+
+        key = jax.random.PRNGKey(0)
+        _, u0_fn = ics.sample_gaussian_triple_ic(key, 8, 2 * np.pi)
+        pts = jnp.asarray(
+            np.linspace(0, 2 * np.pi, 200, dtype=np.float32)[None].repeat(8, 0)
+        )
+        u = np.asarray(u0_fn(pts.astype(jnp.float32)))
+        assert u.dtype == np.float32 or np.isfinite(u).all()
+        assert np.isfinite(u).all()
+        # the u1 component integrates to ~sum(scales) (3 normalized bumps)
+        assert (u[:, 0].max(axis=-1) > 0).all()
+
+    def test_von_mises_matches_scipy_f64(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from scipy.special import i0e
+        from msmp_pde_tpu.datagen.ics import von_mises_pdf
+
+        x = np.linspace(0, 2 * np.pi, 101)
+        for kappa in (1e-5, 1.0, 10.0, 150.0):
+            ours = np.asarray(von_mises_pdf(jnp.asarray(x), kappa, loc=np.pi))
+            ref = np.exp(kappa * (np.cos(x - np.pi) - 1)) / (2 * np.pi * i0e(kappa))
+            np.testing.assert_allclose(ours, ref, rtol=1e-12)
