@@ -65,6 +65,15 @@ class ModeWriter:
         }
 
     def write(self, key: str, start: int, traj: np.ndarray):
+        # Loud (non-fatal: KS blowups are legitimately non-finite and
+        # separately tracked by its validity mask) — silent NaN corruption
+        # once slipped through an f32 IC overflow (see RESULTS.md round 2).
+        n_bad = int(traj.size - np.isfinite(traj).sum())
+        if n_bad:
+            print(
+                f"WARNING: {n_bad}/{traj.size} non-finite values written to "
+                f"{self.group.name}/{key}[{start}:{start + traj.shape[0]}]"
+            )
         self.u[key][start : start + traj.shape[0]] = traj
 
     def write_scalar(self, name: str, start: int, vals: np.ndarray):
