@@ -52,6 +52,8 @@ def main():
     }
     for mode, n in (("train", args.train), ("valid", args.valid),
                     ("test", args.test)):
+        if n == 0:  # keep an existing file for this mode untouched
+            continue
         path = f"data/KS_{mode}_KS.h5"
         if os.path.exists(path):
             os.remove(path)
