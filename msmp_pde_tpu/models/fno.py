@@ -169,9 +169,16 @@ class VNO1d(nn.Module):
     def __call__(self, u):
         B, tw, nx = u.shape
         pos = np.asarray(self.positions, np.float64)
-        V = np.exp(-1j * np.outer(np.arange(self.modes), pos)) / np.sqrt(nx)
-        Vt = jnp.asarray(V.T)  # [nx, modes]
-        Vc = jnp.asarray(np.conj(V))  # [modes, nx]
+        # V = exp(-i k x)/sqrt(nx). The transforms below are the exact
+        # real/imag decomposition of the reference's complex matmuls
+        # (models_fno.py:229-249): complex64 matmul is UNIMPLEMENTED on
+        # this TPU backend — same limitation the KS solver works around
+        # with its real-DFT path (equations/ks.py).
+        theta = np.outer(np.arange(self.modes), pos)  # [modes, nx]
+        c = jnp.asarray((np.cos(theta) / np.sqrt(nx)).T, jnp.float32)
+        s = jnp.asarray((np.sin(theta) / np.sqrt(nx)).T, jnp.float32)
+        # forward: x_ft = x @ V.T -> Re = x@c, Im = -(x@s)
+        # inverse: real(m @ conj(V)) = Re(m)@c.T - Im(m)@s.T
 
         x = jnp.transpose(u, (0, 2, 1))
         x = jnp.concatenate([x, _grid_channel(B, nx, self.domain, u.dtype)], -1)
@@ -189,10 +196,14 @@ class VNO1d(nn.Module):
                 )
 
             w = self.param(f"spec{i}", cinit, (self.width, self.width, self.modes))
-            wc = jax.lax.complex(w[..., 0], w[..., 1])
-            x_ft = x.astype(jnp.complex64) @ Vt  # [B, W, modes]
-            mixed = jnp.einsum("bix,iox->box", x_ft, wc)
-            x1 = jnp.real(mixed @ Vc).astype(x.dtype)
+            wr, wi = w[..., 0], w[..., 1]
+            a = x @ c  # Re(x_ft)  [B, W, modes]
+            b = -(x @ s)  # Im(x_ft)
+            mr = (jnp.einsum("bix,iox->box", a, wr)
+                  - jnp.einsum("bix,iox->box", b, wi))
+            mi = (jnp.einsum("bix,iox->box", a, wi)
+                  + jnp.einsum("bix,iox->box", b, wr))
+            x1 = ((mr @ c.T) - (mi @ s.T)).astype(x.dtype)
             x2 = jnp.transpose(
                 TorchDense(self.width, name=f"w{i}")(jnp.transpose(x, (0, 2, 1))),
                 (0, 2, 1),
