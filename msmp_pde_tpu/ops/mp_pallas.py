@@ -259,9 +259,11 @@ def _spec_rows(rows, shape_tail):
 
 
 def _pick_bb(B, nx, K, H, dtw, V, backward):
-    """Largest divisor of B whose per-grid-step working set fits VMEM."""
+    """Largest divisor of B (capped at 8) whose per-grid-step working set
+    fits VMEM — iterates the actual divisors so batch sizes like 5/10/20
+    get their best blocking rather than falling through a fixed list."""
     budget = 10 * 2**20
-    for bb in (8, 4, 3, 2):
+    for bb in range(min(B, 8), 1, -1):
         if B % bb == 0 and vmem_estimate(nx, K, H, dtw, V, bb, backward) <= budget:
             return bb
     return 1

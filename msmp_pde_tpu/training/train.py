@@ -76,7 +76,7 @@ def fit(args, exp, data, save_path: str):
     n_batches = max(1, int(u_train.shape[0]) // args.batch_size)
     tx = trainer.make_optimizer(
         args.lr, args.lr_decay,
-        milestones=(list(args.milestones) if args.milestones
+        milestones=(list(args.milestones) if args.milestones is not None
                     else [args.unrolling, 5, 10, 15]),
         steps_per_epoch=t_res * n_batches,
     )

@@ -282,3 +282,35 @@ def test_decoder_time_windows(tw):
     out, _ = model.apply(params, window, pos_x, t, var_vec,
                          jnp.asarray(idx), jnp.asarray(mask))
     assert out.shape == (2, NX, tw)
+
+
+def test_vno_real_arithmetic_matches_complex_oracle():
+    """The VNO1d cos/sin decomposition must equal the reference's complex
+    Vandermonde chain (models_fno.py:229-249): forward V-transform ->
+    per-mode complex weight multiply -> real(inverse). Guards the
+    real-arithmetic rewrite (complex matmul is unimplemented on this TPU
+    backend) against regression. (ADVICE r2)"""
+    rng = np.random.default_rng(42)
+    modes, width, nx, b = 7, 5, 33, 3
+    pos = np.sort(rng.uniform(0.0, 2 * np.pi, nx))
+    x = rng.normal(size=(b, width, nx)).astype(np.float64)
+    wr = rng.normal(size=(width, width, modes))
+    wi = rng.normal(size=(width, width, modes))
+
+    # complex oracle, numpy f64
+    V = np.exp(-1j * np.outer(np.arange(modes), pos)) / np.sqrt(nx)
+    x_ft = x @ V.T  # [b, width, modes] complex
+    m = np.einsum("bix,iox->box", x_ft, wr + 1j * wi)
+    oracle = np.real(m @ np.conj(V))
+
+    # the VNO1d real-arithmetic path, verbatim (models/fno.py:177-206)
+    theta = np.outer(np.arange(modes), pos)
+    c = (np.cos(theta) / np.sqrt(nx)).T
+    s = (np.sin(theta) / np.sqrt(nx)).T
+    a = x @ c
+    bb = -(x @ s)
+    mr = np.einsum("bix,iox->box", a, wr) - np.einsum("bix,iox->box", bb, wi)
+    mi = np.einsum("bix,iox->box", a, wi) + np.einsum("bix,iox->box", bb, wr)
+    ours = (mr @ c.T) - (mi @ s.T)
+
+    np.testing.assert_allclose(ours, oracle, rtol=1e-12, atol=1e-12)
