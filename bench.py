@@ -6,14 +6,23 @@ reference's default E1 training config (batch_size=16, nx=100, tw=25,
 6 gated layer pairs, hidden=128 — experiments/train.py:452-498) and reports
 trajectories(windows)/sec/chip.
 
-vs_baseline compares against an estimated torch reference throughput on
-A100: the reference rebuilds a PyG graph on host every batch
-(common/utils.py:320-428) and runs ~1.2M-param gated GNN fwd+bwd over 1600
-nodes / ~19k edges; we estimate ~30 ms/step (~533 samples/s) for the CUDA
-implementation including its host-side graph construction. BASELINE.md
-records that the repository itself publishes no numbers.
+vs_baseline is ESTIMATE-FREE: it is the measured ratio of our single-chip
+E1 datagen throughput to the torch reference's own datagen throughput,
+MEASURED on this host by running generate/generate_data.py unmodified
+(experiments/torchref_e1.py; RESULTS.md). The A100 train-step comparison
+(the reference rebuilds a PyG graph on host every batch and runs a
+~1.2M-param gated GNN fwd+bwd; ~30 ms/step estimated) is an ESTIMATE —
+the repo publishes no numbers (BASELINE.md) and its CUDA deps are not
+installable here — so it is demoted to a clearly-labeled secondary key.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+MFU: FLOPs per fused optimizer pass come from XLA's own
+compiled.cost_analysis() (no hand counting); peaks are v5e datasheet
+numbers (197 TFLOP/s bf16; ~49 TFLOP/s f32-via-MXU-passes). Matmuls run
+at Precision.DEFAULT (single bf16 MXU pass with f32 accumulation), so
+mfu_pct against the bf16 peak is the honest utilization number; the f32
+ratio is reported alongside.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import time
@@ -21,6 +30,10 @@ import time
 import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 533.0  # estimated A100 torch reference (see above)
+
+# v5e datasheet peaks (jax-ml.github.io/scaling-book hardware tables)
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_F32_FLOPS = 49.2e12
 
 # ESTIMATE-FREE secondary comparison: E1 datagen throughput. The torch
 # reference's own datagen (generate/generate_data.py, run unmodified via
@@ -128,6 +141,22 @@ def main():
     dt = time.perf_counter() - t0
 
     samples_per_sec = n_passes * n_steps * B / dt
+
+    # MFU from XLA's own cost model: FLOPs of the whole fused pass
+    # (n_steps optimizer steps incl. pushforward fwd+bwd+AdamW), divided by
+    # the measured wall-clock per pass.
+    try:
+        compiled = fn.lower(params, opt_state, u_all, var_all, idx, steps,
+                            flags).compile()
+        flops_per_pass = float(compiled.cost_analysis()["flops"])
+    except Exception as e:  # cost_analysis availability differs per backend
+        flops_per_pass = float("nan")
+        print(f"# cost_analysis unavailable: {e!r}")
+    sustained = flops_per_pass / (dt / n_passes)
+    flops_per_step = flops_per_pass / n_steps
+    mfu_bf16 = 100.0 * sustained / V5E_PEAK_BF16_FLOPS
+    mfu_f32 = 100.0 * sustained / V5E_PEAK_F32_FLOPS
+
     datagen_sps = bench_datagen_e1()
     print(
         json.dumps(
@@ -135,14 +164,30 @@ def main():
                 "metric": "MSMP-PDE train throughput (E1 cfg, bs=16, nx=100, pushforward=1)",
                 "value": round(samples_per_sec, 2),
                 "unit": "samples/sec/chip",
-                "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
-                "vs_baseline_provenance": "ESTIMATED A100 torch step (533/s); the reference publishes no numbers (BASELINE.md)",
+                "vs_baseline": round(
+                    datagen_sps / TORCH_REF_DATAGEN_SAMPLES_PER_SEC_MEASURED, 2
+                ),
+                "vs_baseline_provenance": (
+                    "MEASURED: our E1 datagen samples/s on one chip divided by "
+                    "the unmodified torch reference's datagen samples/s "
+                    "measured on this host (experiments/torchref_e1.py) — "
+                    "no estimates. Train-step A100 ratio is an estimate; see "
+                    "vs_a100_train_step_estimated."
+                ),
+                "mfu_pct": round(mfu_bf16, 2),
+                "mfu_pct_vs_f32_peak": round(mfu_f32, 2),
+                "mfu_provenance": (
+                    "XLA compiled.cost_analysis() FLOPs / measured wall-clock;"
+                    " v5e peaks 197 TFLOP/s bf16 (matmuls run at "
+                    "Precision.DEFAULT = single bf16 MXU pass) and 49.2 f32"
+                ),
+                "flops_per_step": flops_per_step,
                 "datagen_e1_samples_per_sec_chip": round(datagen_sps, 2),
                 "datagen_torch_ref_measured_samples_per_sec": round(
                     TORCH_REF_DATAGEN_SAMPLES_PER_SEC_MEASURED, 3
                 ),
-                "datagen_vs_torch_ref_measured": round(
-                    datagen_sps / TORCH_REF_DATAGEN_SAMPLES_PER_SEC_MEASURED, 2
+                "vs_a100_train_step_estimated": round(
+                    samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3
                 ),
             }
         )

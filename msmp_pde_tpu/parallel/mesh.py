@@ -24,15 +24,30 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def init_distributed():
+def init_distributed() -> bool:
     """Multi-host initialization over DCN (jax.distributed). No-op unless the
     standard coordinator env vars are present — single-host runs (and this
     repo's CI) never touch it. SURVEY.md §2.4: within a slice collectives
-    ride ICI; across slices jax.distributed coordinates over DCN."""
+    ride ICI; across slices jax.distributed coordinates over DCN.
+
+    On managed clusters (Cloud TPU, Slurm, Open MPI) ``initialize()``
+    auto-detects everything from JAX_COORDINATOR_ADDRESS alone; for generic
+    process launchers, JAX_NUM_PROCESSES / JAX_PROCESS_ID complete the spec
+    (this is the path tests/test_dcn.py exercises with two local CPU
+    processes). Returns True iff the distributed runtime was started."""
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    if not addr:
+        return False
+    kwargs = {"coordinator_address": addr}
+    if "JAX_NUM_PROCESSES" in os.environ:
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if "JAX_PROCESS_ID" in os.environ:
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    return True
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
@@ -41,15 +56,28 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
+def _put(a, sh: NamedSharding):
+    """Place an array under a sharding. Single-process: plain device_put.
+    Multi-process (after init_distributed): the sharding spans devices this
+    process cannot address, so build the global array from the host-local
+    copy — every process holds the full value (replicated inputs, and the
+    loader's per-pass index arrays are derived from a shared PRNG seed) and
+    serves the shards its local devices own."""
+    if jax.process_count() > 1:
+        a = np.asarray(a)
+        return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+    return jax.device_put(a, sh)
+
+
 def shard_batch(mesh: Mesh, tree, axis: str = "dp"):
     """Shard every array's leading (batch) axis across the mesh."""
     sh = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+    return jax.tree.map(lambda a: _put(a, sh), tree)
 
 
 def replicate(mesh: Mesh, tree):
     sh = NamedSharding(mesh, P())
-    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+    return jax.tree.map(lambda a: _put(a, sh), tree)
 
 
 def dp_sharded_step(mesh: Mesh, step_fn, axis: str = "dp"):
