@@ -169,6 +169,12 @@ def main(args):
     print("**Dimensionless L2 errors (test)**")
     metrics.compute_l2_norms(trainer, params, u_test, var_test,
                              args.batch_size, args.nr_gt_steps, t_res)
+    if args.short_horizon_windows:
+        print(f"**Short-horizon L2 errors (first "
+              f"{args.short_horizon_windows} rollout windows)**")
+        metrics.compute_l2_norms(trainer, params, u_test, var_test,
+                                 args.batch_size, args.nr_gt_steps, t_res,
+                                 max_windows=args.short_horizon_windows)
     metrics.test_unrolled_losses(trainer, params, u_test, ub_test, var_test,
                                  args.batch_size, args.nr_gt_steps, t_res,
                                  nx_base)
@@ -201,6 +207,10 @@ def build_parser():
                    help="checkpoint path to evaluate")
     p.add_argument("--n_more_rollout", type=int, default=0,
                    help="extra beyond-horizon rollout windows")
+    p.add_argument("--short_horizon_windows", type=int, default=0,
+                   help="also report rel-L2 over only the first N rollout "
+                        "windows (pre-divergence metric for chaotic tasks "
+                        "like KS)")
     return p
 
 

@@ -290,14 +290,22 @@ def compute_l2_norms_u(trainer: Trainer, params, u_uniform, var_all,
 
 def compute_l2_norms(trainer: Trainer, params, u_all, var_all,
                      batch_size: int, nr_gt_steps: int, t_res: int,
-                     log=print) -> Tuple[float, float]:
+                     log=print, max_windows: int = 0) -> Tuple[float, float]:
     """Space-time L2 and relative L2 over the full rollout — the paper
-    metric (train_helper.py:362-471, :298-328)."""
+    metric (train_helper.py:362-471, :298-328).
+
+    max_windows > 0 truncates the rollout to its first ``max_windows``
+    prediction windows — the short-horizon variant for chaotic systems
+    (KS), where the full-horizon rel-L2 saturates by definition once
+    trajectories decorrelate (positive Lyapunov exponent) and only the
+    pre-divergence error is informative."""
     tw, d = trainer.tw, trainer.d
 
     def one(params, u_traj, variables):
         preds, labs = _rollout_collect(trainer, params, u_traj, variables,
                                        nr_gt_steps, t_res)
+        if max_windows:
+            preds, labs = preds[:max_windows], labs[:max_windows]
         # [S, B, nx, d*tw] -> [B, S*tw, d, nx]
         S, B, nx, _ = preds.shape
 
@@ -315,7 +323,7 @@ def compute_l2_norms(trainer: Trainer, params, u_all, var_all,
     ls, ms = _map_over_batches(
         one, params, (u_all,), var_all, batch_size,
         cache=trainer._metric_cache,
-        cache_key=("l2norms", t_res, nr_gt_steps),
+        cache_key=("l2norms", t_res, nr_gt_steps, max_windows),
     )
     l_mean = float(jnp.mean(ls))
     m_mean = float(jnp.mean(ms))
