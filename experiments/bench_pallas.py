@@ -86,8 +86,7 @@ def main():
     for mp, lem, prec in (
         ("xla", "xla", "float32"),
         ("pallas", "xla", "float32"),
-        ("pallas", "xla", "bfloat16"),
-        ("pallas", "pallas", "bfloat16"),
+        ("pallas_pair", "xla", "float32"),
     ):
         r[(mp, lem, prec)] = bench_impl(mp, lem_impl=lem, mp_precision=prec)
     base = r[("xla", "xla", "float32")]

@@ -85,12 +85,15 @@ class GNNLayer(nn.Module):
     residual: bool
 
     @nn.compact
-    def __call__(self, h, u, px, variables, idx, mask, ega=None):
+    def __call__(self, h, u, px, variables, idx, mask, ega=None,
+                 weights_only=False):
         fe = FactorizedEdgeDense(hidden=self.hidden)
-        if ega is not None:
+        if ega is not None or weights_only:
             # fused Pallas path: one TPU kernel for the whole layer,
             # same params / same math as the XLA path below
-            # (exact-parity test: tests/test_mp_pallas.py)
+            # (exact-parity test: tests/test_mp_pallas.py).
+            # weights_only returns the 12-tuple for the fused PAIR kernel
+            # (the caller combines gate+layer in one pallas_call).
             from msmp_pde_tpu.ops.mp_pallas import fused_mp_layer
 
             H, V = self.hidden, variables.shape[-1]
@@ -106,6 +109,9 @@ class GNNLayer(nn.Module):
             w4, b4 = TorchDense(self.hidden)(
                 jnp.zeros((1, H), h.dtype), params_only=True
             )
+            if weights_only:
+                return (w_hi, w_hj, w_du, w_dx, w_v, b1, w2, b2, w3, b3,
+                        w4, b4)
             ega_mats, interpret, mm_dtype = ega
             return fused_mp_layer(
                 h, u, px[..., None], variables, ega_mats,
@@ -275,6 +281,25 @@ class MPSolver(nn.Module):
                         hidden=self.hidden, final_act=False, residual=False,
                         name=f"gate_{i}",
                     )
+                    if (self.gate == "sigmoid" and ega is not None
+                            and self.mp_impl == "pallas_pair"):
+                        # fused gated PAIR: gate+layer+combine in ONE kernel
+                        # (ops/mp_pallas.py::fused_gated_pair); identical
+                        # params/math to the two-kernel path.
+                        from msmp_pde_tpu.ops.mp_pallas import (
+                            fused_gated_pair,
+                        )
+
+                        ega_mats, interpret, mm_dtype = ega
+                        Wg = gate_layer(h, window, px_n, variables, idx,
+                                        mask, weights_only=True)
+                        Wl = layer(h, window, px_n, variables, idx, mask,
+                                   weights_only=True)
+                        h = fused_gated_pair(
+                            h, window, px_n[..., None], variables, ega_mats,
+                            Wg, Wl, interpret=interpret, mm_dtype=mm_dtype,
+                        )
+                        continue
                     g = gate_layer(h, window, px_n, variables, idx, mask,
                                    ega=ega)
                 if self.gate == "sigmoid":

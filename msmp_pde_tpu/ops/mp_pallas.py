@@ -166,38 +166,31 @@ def _fwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
     out_ref[...] = xh
 
 
-def _bwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
-                final_act, residual, bb, nx, mm=None):
-    w_refs = rest[:12]
-    g_ref = rest[12]
-    dh_ref = rest[13]
-    dw_refs = rest[14:]
-    W = tuple(r[...] for r in w_refs)
-    (w_hi, w_hj, w_du, w_dx, w_v, b1, w2, b2, w3, b3, w4, b4) = W
-    h, u, px, v = h_ref[...], u_ref[...], px_ref[...], v_ref[...]
-    E, G, A = E_ref[...], G_ref[...], A_ref[...]
-    H = h.shape[-1]
-    V = v.shape[-1]
-    nE = E.shape[0]
-
-    o, (s_i, s_j, m0, m1, z2, m2, agg, z3, a3, z4) = _forward_math(
-        h, u, px, v, E, G, A, W, final_act, residual, bb, nx, mm=mm
-    )
-    xh, rs = _instnorm(o, bb, nx)
-
-    g = g_ref[...]
-    # instance-norm backward (per-feature stats over the nx axis, per
-    # batch element; 2-D row slices)
-    dxo_parts = []
+def _instnorm_bwd(g, xh, rs, bb, nx):
+    """Instance-norm backward (per-feature stats over the nx axis, per
+    batch element; 2-D row slices). g is the output cotangent, xh/rs the
+    forward's normalized output and rsqrt factors."""
+    parts = []
     for e in range(bb):
         ge = g[e * nx : (e + 1) * nx]
         xe = xh[e * nx : (e + 1) * nx]
-        dxo_parts.append(rs[e] * (
+        parts.append(rs[e] * (
             ge
             - jnp.mean(ge, axis=0, keepdims=True)
             - xe * jnp.mean(ge * xe, axis=0, keepdims=True)
         ))
-    dxo = dxo_parts[0] if bb == 1 else jnp.concatenate(dxo_parts, axis=0)
+    return parts[0] if bb == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _layer_bwd_math(dxo, h, u, px, v, E, G, A, W, saved, final_act, residual,
+                    bb, nx, mm=None):
+    """Backward through the layer math (pre-norm): dxo is the cotangent of
+    the layer's pre-norm output, saved the _forward_math intermediates.
+    Returns (dh, 12-tuple of weight grads)."""
+    (w_hi, w_hj, w_du, w_dx, w_v, b1, w2, b2, w3, b3, w4, b4) = W
+    (s_i, s_j, m0, m1, z2, m2, agg, z3, a3, z4) = saved
+    H = h.shape[-1]
+    nE = E.shape[0]
     dh = dxo if residual else jnp.zeros_like(dxo)
     dz4 = dxo * _dswish(z4) if final_act else dxo
     dw4 = _dot_t(a3, dz4, mm)
@@ -227,10 +220,96 @@ def _bwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
     dw_dx = _dot_t(px, dmix, mm)
     dw_v = _dot_t(v, ds_i, mm)
     db1 = jnp.sum(ds_i, axis=0, keepdims=True)
-
-    dh_ref[...] = dh
     dws = (dw_hi, dw_hj, dw_du, dw_dx, dw_v, db1, dw2, db2,
            jnp.concatenate([dw3_h, dw3_a, dw3_v], axis=0), db3, dw4, db4)
+    return dh, dws
+
+
+def _bwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
+                final_act, residual, bb, nx, mm=None):
+    w_refs = rest[:12]
+    g_ref = rest[12]
+    dh_ref = rest[13]
+    dw_refs = rest[14:]
+    W = tuple(r[...] for r in w_refs)
+    h, u, px, v = h_ref[...], u_ref[...], px_ref[...], v_ref[...]
+    E, G, A = E_ref[...], G_ref[...], A_ref[...]
+
+    o, saved = _forward_math(
+        h, u, px, v, E, G, A, W, final_act, residual, bb, nx, mm=mm
+    )
+    xh, rs = _instnorm(o, bb, nx)
+
+    dxo = _instnorm_bwd(g_ref[...], xh, rs, bb, nx)
+    dh, dws = _layer_bwd_math(dxo, h, u, px, v, E, G, A, W, saved,
+                              final_act, residual, bb, nx, mm=mm)
+
+    dh_ref[...] = dh
+
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        for ref in dw_refs:
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    for ref, val in zip(dw_refs, dws):
+        ref[...] += val
+
+
+def _pair_fwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
+                     bb, nx, mm=None):
+    """Fused gated layer PAIR (the gated-loop body, models_gnn.py:1365-1368):
+    gate GNN_LayerLin + main GNN_LayerLin share every input; one kernel
+    computes both and the combine h' = (1-sigmoid(g))*h + sigmoid(g)*swish(l)
+    without writing g/l back to HBM."""
+    wg_refs, wl_refs = rest[:12], rest[12:24]
+    out_ref = rest[24]
+    Wg = tuple(r[...] for r in wg_refs)
+    Wl = tuple(r[...] for r in wl_refs)
+    h, u, px, v = h_ref[...], u_ref[...], px_ref[...], v_ref[...]
+    E, G, A = E_ref[...], G_ref[...], A_ref[...]
+    og, _ = _forward_math(h, u, px, v, E, G, A, Wg, False, False, bb, nx,
+                          mm=mm)
+    gn, _ = _instnorm(og, bb, nx)
+    ol, _ = _forward_math(h, u, px, v, E, G, A, Wl, False, False, bb, nx,
+                          mm=mm)
+    ln, _ = _instnorm(ol, bb, nx)
+    tau = jax.nn.sigmoid(gn)
+    out_ref[...] = (1.0 - tau) * h + tau * _swish(ln)
+
+
+def _pair_bwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
+                     bb, nx, mm=None):
+    wg_refs, wl_refs = rest[:12], rest[12:24]
+    g_ref = rest[24]
+    dh_ref = rest[25]
+    dw_refs = rest[26:]
+    Wg = tuple(r[...] for r in wg_refs)
+    Wl = tuple(r[...] for r in wl_refs)
+    h, u, px, v = h_ref[...], u_ref[...], px_ref[...], v_ref[...]
+    E, G, A = E_ref[...], G_ref[...], A_ref[...]
+
+    og, saved_g = _forward_math(h, u, px, v, E, G, A, Wg, False, False, bb,
+                                nx, mm=mm)
+    gn, rs_g = _instnorm(og, bb, nx)
+    ol, saved_l = _forward_math(h, u, px, v, E, G, A, Wl, False, False, bb,
+                                nx, mm=mm)
+    ln, rs_l = _instnorm(ol, bb, nx)
+    tau = jax.nn.sigmoid(gn)
+    sw = _swish(ln)
+
+    g = g_ref[...]  # cotangent of h' = (1-tau)*h + tau*swish(ln)
+    dgn = g * (sw - h) * tau * (1.0 - tau)
+    dln = g * tau * _dswish(ln)
+    dog = _instnorm_bwd(dgn, gn, rs_g, bb, nx)
+    dol = _instnorm_bwd(dln, ln, rs_l, bb, nx)
+    dh_g, dws_g = _layer_bwd_math(dog, h, u, px, v, E, G, A, Wg, saved_g,
+                                  False, False, bb, nx, mm=mm)
+    dh_l, dws_l = _layer_bwd_math(dol, h, u, px, v, E, G, A, Wl, saved_l,
+                                  False, False, bb, nx, mm=mm)
+    dh_ref[...] = g * (1.0 - tau) + dh_g + dh_l
+    dws = dws_g + dws_l
 
     b = pl.program_id(0)
 
@@ -258,13 +337,14 @@ def _spec_rows(rows, shape_tail):
                         memory_space=pltpu.VMEM)
 
 
-def _pick_bb(B, nx, K, H, dtw, V, backward):
+def _pick_bb(B, nx, K, H, dtw, V, backward, pair=False):
     """Largest divisor of B (capped at 8) whose per-grid-step working set
     fits VMEM — iterates the actual divisors so batch sizes like 5/10/20
     get their best blocking rather than falling through a fixed list."""
     budget = 10 * 2**20
     for bb in range(min(B, 8), 1, -1):
-        if B % bb == 0 and vmem_estimate(nx, K, H, dtw, V, bb, backward) <= budget:
+        if B % bb == 0 and vmem_estimate(nx, K, H, dtw, V, bb, backward,
+                                         pair) <= budget:
             return bb
     return 1
 
@@ -379,6 +459,107 @@ def _grad_shape(shape):
     return (1,) + shape if len(shape) == 1 else shape
 
 
+@functools.lru_cache(maxsize=None)
+def make_fused_pair(interpret: bool, mm_dtype: str = "float32"):
+    """Build the custom-VJP fused gated PAIR for a static config.
+
+    Signature: f(h, u, px, v, ega=(E,G,A), Wg, Wl) -> [B,nx,H] where Wg/Wl
+    are the gate/main GNN_LayerLin 12-tuples. Both layers are LayerLin
+    (final_act=False, residual=False — the gated configuration,
+    models_gnn.py:1220-1377); the gate combine is fused in VMEM.
+    """
+    mm = None if mm_dtype == "float32" else jnp.dtype(mm_dtype)
+
+    def _flatten(x):
+        return x.reshape(-1, x.shape[-1])
+
+    def _common_specs(h, u, px, v, E, G, A, bb, nx):
+        return [
+            _spec_rows(bb * nx, h.shape[2:]),
+            _spec_rows(bb * nx, u.shape[2:]),
+            _spec_rows(bb * nx, px.shape[2:]),
+            _spec_rows(bb * nx, v.shape[2:]),
+            _spec_full(E.shape),
+            _spec_full(G.shape),
+            _spec_full(A.shape),
+        ]
+
+    def _run_fwd(h, u, px, v, ega, Wg, Wl):
+        B, nx, H = h.shape
+        E, G, A = ega
+        K = E.shape[0] // nx
+        bb = _pick_bb(B, nx, K, H, u.shape[-1], v.shape[-1], backward=False,
+                      pair=True)
+        kernel = functools.partial(_pair_fwd_kernel, bb=bb, nx=nx, mm=mm)
+        out = pl.pallas_call(
+            kernel,
+            grid=(B // bb,),
+            in_specs=_common_specs(h, u, px, v, E, G, A, bb, nx)
+            + [_spec_full(w.shape) for w in Wg]
+            + [_spec_full(w.shape) for w in Wl],
+            out_specs=_spec_rows(bb * nx, (H,)),
+            out_shape=jax.ShapeDtypeStruct((B * nx, H), h.dtype),
+            interpret=interpret,
+        )(_flatten(h), _flatten(u), _flatten(px), _flatten(v), E, G, A,
+          *Wg, *Wl)
+        return out.reshape(B, nx, H)
+
+    def _run_bwd(h, u, px, v, ega, Wg, Wl, g):
+        B, nx, H = h.shape
+        E, G, A = ega
+        K = E.shape[0] // nx
+        bb = _pick_bb(B, nx, K, H, u.shape[-1], v.shape[-1], backward=True,
+                      pair=True)
+        kernel = functools.partial(_pair_bwd_kernel, bb=bb, nx=nx, mm=mm)
+        allW = tuple(Wg) + tuple(Wl)
+        out_shapes = [jax.ShapeDtypeStruct((B * nx, H), h.dtype)] + [
+            jax.ShapeDtypeStruct(_grad_shape(w.shape), jnp.float32)
+            for w in allW
+        ]
+        out_specs = [_spec_rows(bb * nx, (H,))] + [
+            _spec_full(_grad_shape(w.shape)) for w in allW
+        ]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B // bb,),
+            in_specs=_common_specs(h, u, px, v, E, G, A, bb, nx)
+            + [_spec_full(w.shape) for w in allW]
+            + [_spec_rows(bb * nx, (H,))],
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
+            interpret=interpret,
+        )(_flatten(h), _flatten(u), _flatten(px), _flatten(v), E, G, A,
+          *allW, _flatten(g))
+        dh = outs[0].reshape(B, nx, H)
+        dws = tuple(dw.reshape(w.shape) for dw, w in zip(outs[1:], allW))
+        return dh, dws[:12], dws[12:]
+
+    @jax.custom_vjp
+    def fused(h, u, px, v, ega, Wg, Wl):
+        return _run_fwd(h, u, px, v, ega, Wg, Wl)
+
+    def fwd(h, u, px, v, ega, Wg, Wl):
+        return _run_fwd(h, u, px, v, ega, Wg, Wl), (h, u, px, v, ega, Wg, Wl)
+
+    def bwd(res, g):
+        h, u, px, v, ega, Wg, Wl = res
+        dh, dwg, dwl = _run_bwd(h, u, px, v, ega, Wg, Wl, g)
+        zeros = lambda t: jax.tree.map(jnp.zeros_like, t)
+        return (dh, zeros(u), zeros(px), zeros(v), zeros(ega), dwg, dwl)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def fused_gated_pair(h, u, px, v, ega, Wg, Wl, *, interpret: bool = False,
+                     mm_dtype: str = "float32"):
+    """Apply the fused gated layer+gate pair; biases may be 1-D."""
+    to2d = lambda W: tuple(w[None] if w.ndim == 1 else w for w in W)
+    return make_fused_pair(interpret, mm_dtype)(
+        h, u, px, v, tuple(ega), to2d(Wg), to2d(Wl)
+    )
+
+
 def fused_mp_layer(h, u, px, v, ega, W, *, final_act: bool, residual: bool,
                    interpret: bool = False, mm_dtype: str = "float32"):
     """Apply the fused layer; biases in W may be 1-D (reshaped to [1,H])."""
@@ -390,16 +571,19 @@ def fused_mp_layer(h, u, px, v, ega, W, *, final_act: bool, residual: bool,
 
 
 def vmem_estimate(nx: int, K: int, H: int, dtw: int, V: int,
-                  bb: int = 1, backward: bool = True) -> int:
+                  bb: int = 1, backward: bool = True,
+                  pair: bool = False) -> int:
     """Rough per-grid-step VMEM footprint in bytes (f32): edge tensors
     dominate; used to gate the pallas path on large shapes and to pick the
-    batch-block size."""
+    batch-block size. ``pair`` doubles the per-layer buffers (the fused
+    gated layer+gate pair keeps both layers' intermediates resident)."""
     edges = nx * K
     n_edge = 8 if backward else 4        # m0/m1/z2/m2 (+ grads in bwd)
-    edge_bufs = n_edge * bb * edges * H
-    node_bufs = (14 if backward else 10) * bb * nx * H
+    lay = 2 if pair else 1
+    edge_bufs = lay * n_edge * bb * edges * H
+    node_bufs = lay * (14 if backward else 10) * bb * nx * H
     mats = 2 * edges * nx + nx * edges   # E, G, A
-    weights = (2 if backward else 1) * (
+    weights = lay * (2 if backward else 1) * (
         2 * H * H + (2 * H + V) * H + H * H + (dtw + 1 + V) * H
     )
     return 4 * (edge_bufs + node_bufs + mats + weights

@@ -149,3 +149,53 @@ def test_bf16_gradient_close():
         )
 
     jax.tree_util.tree_map_with_path(check, gx_p, gb_p)
+
+
+def test_fused_pair_model_parity():
+    """MSMP-PDE with mp_impl='pallas_pair' (ONE fused kernel per gated
+    layer+gate pair incl. the combine) must match mp_impl='xla' with the
+    same params: forward and gradients."""
+    from msmp_pde_tpu.models import get_model
+
+    nx, tw, B = 24, 20, 2
+    x = np.linspace(0.0, 16.0, nx)
+    idx, mask = build_neighbors_radius(x, 2)
+    rng = np.random.default_rng(1)
+    window = jnp.asarray(rng.normal(size=(B, nx, tw)).astype(np.float32))
+    pos_x = jnp.broadcast_to(jnp.asarray(x.astype(np.float32)), (B, nx))
+    t = jnp.zeros((B,), jnp.float32)
+    var_vec = jnp.zeros((B, 1), jnp.float32)
+    r = jnp.asarray(rng.normal(size=(B, nx, tw)).astype(np.float32))
+
+    outs, grads = [], []
+    for impl in ("xla", "pallas_pair"):
+        model, _ = get_model("MSMP-PDE", tw=tw, n_eq_vars=0, L=16.0,
+                             tmax=4.0, dt=4.0 / 99, n_layers=2, mp_impl=impl)
+        params = model.init(
+            jax.random.PRNGKey(0), window, pos_x, t, var_vec,
+            jnp.asarray(idx), jnp.asarray(mask),
+        )
+
+        def loss(p):
+            out, _ = model.apply(p, window, pos_x, t, var_vec,
+                                 jnp.asarray(idx), jnp.asarray(mask))
+            return jnp.sum(out * r), out
+
+        (l, out), g = jax.value_and_grad(loss, has_aux=True)(params)
+        outs.append(np.asarray(out))
+        grads.append(g)
+    np.testing.assert_allclose(outs[1], outs[0], rtol=2e-5, atol=2e-5)
+
+    def check(path, vx, vp):
+        # scale-aware: the update-MLP output biases (b4) have an
+        # ANALYTICALLY ZERO gradient (the instance-norm backward projects
+        # cotangents to zero column-sum, and db4 is exactly that sum), so
+        # both paths produce only roundoff noise there — the absolute
+        # floor covers noise-vs-noise; everything real matches at 1e-3.
+        vx, vp = np.asarray(vx), np.asarray(vp)
+        tol = max(1e-3 * np.abs(vx).max(), 2e-4)
+        assert np.abs(vp - vx).max() <= tol, (
+            f"{path}: max diff {np.abs(vp - vx).max():.3e} > {tol:.3e}"
+        )
+
+    jax.tree_util.tree_map_with_path(check, grads[0], grads[1])
