@@ -281,15 +281,21 @@ class MPSolver(nn.Module):
                         hidden=self.hidden, final_act=False, residual=False,
                         name=f"gate_{i}",
                     )
-                    if (self.gate == "sigmoid" and ega is not None
-                            and self.mp_impl == "pallas_pair"):
+                    from msmp_pde_tpu.ops.mp_pallas import (
+                        fused_gated_pair, pallas_feasible,
+                    )
+
+                    pair_ok = (
+                        self.gate == "sigmoid" and ega is not None
+                        and self.mp_impl == "pallas_pair"
+                        and pallas_feasible(
+                            window.shape[0], nx, idx.shape[1], self.hidden,
+                            window.shape[-1], variables.shape[-1], pair=True)
+                    )
+                    if pair_ok:
                         # fused gated PAIR: gate+layer+combine in ONE kernel
                         # (ops/mp_pallas.py::fused_gated_pair); identical
                         # params/math to the two-kernel path.
-                        from msmp_pde_tpu.ops.mp_pallas import (
-                            fused_gated_pair,
-                        )
-
                         ega_mats, interpret, mm_dtype = ega
                         Wg = gate_layer(h, window, px_n, variables, idx,
                                         mask, weights_only=True)
@@ -329,12 +335,12 @@ class MPSolver(nn.Module):
         backend = jax.default_backend()
         if self.mp_impl == "auto" and backend != "tpu":
             return None
-        from msmp_pde_tpu.ops.mp_pallas import edge_matrices, vmem_estimate
+        from msmp_pde_tpu.ops.mp_pallas import edge_matrices, pallas_feasible
 
         nx, K = idx.shape
-        est = vmem_estimate(nx, K, self.hidden, window.shape[-1],
-                            variables.shape[-1])
-        if self.mp_impl == "auto" and est > 10 * 2**20:
+        feasible = pallas_feasible(window.shape[0], nx, K, self.hidden,
+                                   window.shape[-1], variables.shape[-1])
+        if self.mp_impl == "auto" and not feasible:
             return None
         return edge_matrices(idx, mask), backend != "tpu", self.mp_precision
 

@@ -262,9 +262,12 @@ def _pair_fwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
     """Fused gated layer PAIR (the gated-loop body, models_gnn.py:1365-1368):
     gate GNN_LayerLin + main GNN_LayerLin share every input; one kernel
     computes both and the combine h' = (1-sigmoid(g))*h + sigmoid(g)*swish(l)
-    without writing g/l back to HBM."""
+    in VMEM. The normalized pre-combine outputs gn/ln are ALSO written out:
+    they are the residuals the pair backward needs (it reuses the single-
+    layer backward kernels — a full both-layer recompute-in-one-kernel
+    backward does not fit the ~16 MB VMEM at production shapes)."""
     wg_refs, wl_refs = rest[:12], rest[12:24]
-    out_ref = rest[24]
+    out_ref, gn_ref, ln_ref = rest[24], rest[25], rest[26]
     Wg = tuple(r[...] for r in wg_refs)
     Wl = tuple(r[...] for r in wl_refs)
     h, u, px, v = h_ref[...], u_ref[...], px_ref[...], v_ref[...]
@@ -277,49 +280,8 @@ def _pair_fwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
     ln, _ = _instnorm(ol, bb, nx)
     tau = jax.nn.sigmoid(gn)
     out_ref[...] = (1.0 - tau) * h + tau * _swish(ln)
-
-
-def _pair_bwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
-                     bb, nx, mm=None):
-    wg_refs, wl_refs = rest[:12], rest[12:24]
-    g_ref = rest[24]
-    dh_ref = rest[25]
-    dw_refs = rest[26:]
-    Wg = tuple(r[...] for r in wg_refs)
-    Wl = tuple(r[...] for r in wl_refs)
-    h, u, px, v = h_ref[...], u_ref[...], px_ref[...], v_ref[...]
-    E, G, A = E_ref[...], G_ref[...], A_ref[...]
-
-    og, saved_g = _forward_math(h, u, px, v, E, G, A, Wg, False, False, bb,
-                                nx, mm=mm)
-    gn, rs_g = _instnorm(og, bb, nx)
-    ol, saved_l = _forward_math(h, u, px, v, E, G, A, Wl, False, False, bb,
-                                nx, mm=mm)
-    ln, rs_l = _instnorm(ol, bb, nx)
-    tau = jax.nn.sigmoid(gn)
-    sw = _swish(ln)
-
-    g = g_ref[...]  # cotangent of h' = (1-tau)*h + tau*swish(ln)
-    dgn = g * (sw - h) * tau * (1.0 - tau)
-    dln = g * tau * _dswish(ln)
-    dog = _instnorm_bwd(dgn, gn, rs_g, bb, nx)
-    dol = _instnorm_bwd(dln, ln, rs_l, bb, nx)
-    dh_g, dws_g = _layer_bwd_math(dog, h, u, px, v, E, G, A, Wg, saved_g,
-                                  False, False, bb, nx, mm=mm)
-    dh_l, dws_l = _layer_bwd_math(dol, h, u, px, v, E, G, A, Wl, saved_l,
-                                  False, False, bb, nx, mm=mm)
-    dh_ref[...] = g * (1.0 - tau) + dh_g + dh_l
-    dws = dws_g + dws_l
-
-    b = pl.program_id(0)
-
-    @pl.when(b == 0)
-    def _():
-        for ref in dw_refs:
-            ref[...] = jnp.zeros(ref.shape, ref.dtype)
-
-    for ref, val in zip(dw_refs, dws):
-        ref[...] += val
+    gn_ref[...] = gn
+    ln_ref[...] = ln
 
 
 def _spec_full(shape):
@@ -340,13 +302,91 @@ def _spec_rows(rows, shape_tail):
 def _pick_bb(B, nx, K, H, dtw, V, backward, pair=False):
     """Largest divisor of B (capped at 8) whose per-grid-step working set
     fits VMEM — iterates the actual divisors so batch sizes like 5/10/20
-    get their best blocking rather than falling through a fixed list."""
+    get their best blocking rather than falling through a fixed list.
+
+    Mosaic requires the block's second-to-last dim (our bb*nx row count)
+    to be a multiple of 8 unless the block spans the whole array, so only
+    such bb are admissible. Returns 0 when NO admissible divisor fits —
+    callers must fall back to the XLA path (auto mode gates on this via
+    ``pallas_feasible``)."""
     budget = 10 * 2**20
-    for bb in range(min(B, 8), 1, -1):
-        if B % bb == 0 and vmem_estimate(nx, K, H, dtw, V, bb, backward,
-                                         pair) <= budget:
+    for bb in range(min(B, 8), 0, -1):
+        if B % bb:
+            continue
+        if (bb * nx) % 8 and bb != B:
+            continue
+        if vmem_estimate(nx, K, H, dtw, V, bb, backward, pair) <= budget:
             return bb
-    return 1
+    return 0
+
+
+def pallas_feasible(B, nx, K, H, dtw, V, pair=False):
+    """True when the fused kernels (fwd AND bwd) have an admissible batch
+    blocking at these shapes. The pair's backward runs through the single-
+    layer backward kernels, so its feasibility is the single-layer one."""
+    return (_pick_bb(B, nx, K, H, dtw, V, backward=False, pair=pair) > 0
+            and _pick_bb(B, nx, K, H, dtw, V, backward=True) > 0)
+
+
+def _flatten2d(x):
+    # [B, nx, D] -> [B*nx, D]: batch elements as stacked row blocks, done
+    # OUTSIDE the kernel so every in-kernel operand is 2-D.
+    return x.reshape(-1, x.shape[-1])
+
+
+def _require_bb(bb, what):
+    if bb == 0:
+        raise ValueError(
+            f"no admissible Pallas batch blocking for {what} (rows must be "
+            "a multiple of 8 and fit VMEM); use mp_impl=xla or auto"
+        )
+    return bb
+
+
+def _layer_bwd_call(h, u, px, v, ega, W, g, *, final_act, residual,
+                    interpret, mm):
+    """Single-layer backward pallas_call: g is the cotangent of the layer's
+    normalized output; returns (dh, 12 weight grads in param shapes).
+    Module-level so the fused PAIR's VJP can reuse it per layer."""
+    B, nx, H = h.shape
+    E, G, A = ega
+    K = E.shape[0] // nx
+    bb = _require_bb(
+        _pick_bb(B, nx, K, H, u.shape[-1], v.shape[-1], backward=True),
+        "layer backward")
+    kernel = functools.partial(
+        _bwd_kernel, final_act=final_act, residual=residual,
+        bb=bb, nx=nx, mm=mm,
+    )
+    out_shapes = [jax.ShapeDtypeStruct((B * nx, H), h.dtype)] + [
+        jax.ShapeDtypeStruct(_grad_shape(w.shape), jnp.float32) for w in W
+    ]
+    out_specs = [_spec_rows(bb * nx, (H,))] + [
+        _spec_full(_grad_shape(w.shape)) for w in W
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // bb,),
+        in_specs=[
+            _spec_rows(bb * nx, h.shape[2:]),
+            _spec_rows(bb * nx, u.shape[2:]),
+            _spec_rows(bb * nx, px.shape[2:]),
+            _spec_rows(bb * nx, v.shape[2:]),
+            _spec_full(E.shape),
+            _spec_full(G.shape),
+            _spec_full(A.shape),
+        ]
+        + [_spec_full(w.shape) for w in W]
+        + [_spec_rows(bb * nx, (H,))],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(_flatten2d(h), _flatten2d(u), _flatten2d(px), _flatten2d(v), E, G, A,
+      *W, _flatten2d(g))
+    dh, dws = outs[0].reshape(B, nx, H), outs[1:]
+    # biases were computed as [1, H]; restore param shapes
+    dws = tuple(dw.reshape(w.shape) for dw, w in zip(dws, W))
+    return dh, dws
 
 
 @functools.lru_cache(maxsize=None)
@@ -365,16 +405,13 @@ def make_fused_layer(final_act: bool, residual: bool, interpret: bool,
     """
     mm = None if mm_dtype == "float32" else jnp.dtype(mm_dtype)
 
-    def _flatten(x):
-        # [B, nx, D] -> [B*nx, D]: batch elements as stacked row blocks,
-        # done OUTSIDE the kernel so every in-kernel operand is 2-D.
-        return x.reshape(-1, x.shape[-1])
-
     def _run_fwd(h, u, px, v, ega, W):
         B, nx, H = h.shape
         E, G, A = ega
         K = E.shape[0] // nx
-        bb = _pick_bb(B, nx, K, H, u.shape[-1], v.shape[-1], backward=False)
+        bb = _require_bb(
+            _pick_bb(B, nx, K, H, u.shape[-1], v.shape[-1], backward=False),
+            "layer forward")
         kernel = functools.partial(
             _fwd_kernel, final_act=final_act, residual=residual,
             bb=bb, nx=nx, mm=mm,
@@ -394,47 +431,9 @@ def make_fused_layer(final_act: bool, residual: bool, interpret: bool,
             out_specs=_spec_rows(bb * nx, (H,)),
             out_shape=jax.ShapeDtypeStruct((B * nx, H), h.dtype),
             interpret=interpret,
-        )(_flatten(h), _flatten(u), _flatten(px), _flatten(v), E, G, A, *W)
+        )(_flatten2d(h), _flatten2d(u), _flatten2d(px), _flatten2d(v),
+          E, G, A, *W)
         return out.reshape(B, nx, H)
-
-    def _run_bwd(h, u, px, v, ega, W, g):
-        B, nx, H = h.shape
-        E, G, A = ega
-        K = E.shape[0] // nx
-        bb = _pick_bb(B, nx, K, H, u.shape[-1], v.shape[-1], backward=True)
-        kernel = functools.partial(
-            _bwd_kernel, final_act=final_act, residual=residual,
-            bb=bb, nx=nx, mm=mm,
-        )
-        out_shapes = [jax.ShapeDtypeStruct((B * nx, H), h.dtype)] + [
-            jax.ShapeDtypeStruct(_grad_shape(w.shape), jnp.float32) for w in W
-        ]
-        out_specs = [_spec_rows(bb * nx, (H,))] + [
-            _spec_full(_grad_shape(w.shape)) for w in W
-        ]
-        outs = pl.pallas_call(
-            kernel,
-            grid=(B // bb,),
-            in_specs=[
-                _spec_rows(bb * nx, h.shape[2:]),
-                _spec_rows(bb * nx, u.shape[2:]),
-                _spec_rows(bb * nx, px.shape[2:]),
-                _spec_rows(bb * nx, v.shape[2:]),
-                _spec_full(E.shape),
-                _spec_full(G.shape),
-                _spec_full(A.shape),
-            ]
-            + [_spec_full(w.shape) for w in W]
-            + [_spec_rows(bb * nx, (H,))],
-            out_specs=tuple(out_specs),
-            out_shape=tuple(out_shapes),
-            interpret=interpret,
-        )(_flatten(h), _flatten(u), _flatten(px), _flatten(v), E, G, A,
-          *W, _flatten(g))
-        dh, dws = outs[0].reshape(B, nx, H), outs[1:]
-        # biases were computed as [1, H]; restore param shapes
-        dws = tuple(dw.reshape(w.shape) for dw, w in zip(dws, W))
-        return dh, dws
 
     @jax.custom_vjp
     def fused(h, u, px, v, ega, W):
@@ -445,7 +444,9 @@ def make_fused_layer(final_act: bool, residual: bool, interpret: bool,
 
     def bwd(res, g):
         h, u, px, v, ega, W = res
-        dh, dws = _run_bwd(h, u, px, v, ega, W, g)
+        dh, dws = _layer_bwd_call(h, u, px, v, ega, W, g,
+                                  final_act=final_act, residual=residual,
+                                  interpret=interpret, mm=mm)
         zeros = lambda t: jax.tree.map(jnp.zeros_like, t)
         return (dh, zeros(u), zeros(px), zeros(v), zeros(ega), dws)
 
@@ -467,83 +468,70 @@ def make_fused_pair(interpret: bool, mm_dtype: str = "float32"):
     are the gate/main GNN_LayerLin 12-tuples. Both layers are LayerLin
     (final_act=False, residual=False — the gated configuration,
     models_gnn.py:1220-1377); the gate combine is fused in VMEM.
+
+    Backward: the forward kernel also emits the normalized pre-combine
+    outputs gn/ln; the VJP differentiates the combine elementwise in XLA
+    (fuses into neighbors) and reuses the single-layer backward kernel per
+    layer. One kernel recomputing BOTH layers' intermediates would need
+    ~2x the single-layer VMEM and does not fit at production shapes.
     """
     mm = None if mm_dtype == "float32" else jnp.dtype(mm_dtype)
-
-    def _flatten(x):
-        return x.reshape(-1, x.shape[-1])
-
-    def _common_specs(h, u, px, v, E, G, A, bb, nx):
-        return [
-            _spec_rows(bb * nx, h.shape[2:]),
-            _spec_rows(bb * nx, u.shape[2:]),
-            _spec_rows(bb * nx, px.shape[2:]),
-            _spec_rows(bb * nx, v.shape[2:]),
-            _spec_full(E.shape),
-            _spec_full(G.shape),
-            _spec_full(A.shape),
-        ]
 
     def _run_fwd(h, u, px, v, ega, Wg, Wl):
         B, nx, H = h.shape
         E, G, A = ega
         K = E.shape[0] // nx
-        bb = _pick_bb(B, nx, K, H, u.shape[-1], v.shape[-1], backward=False,
-                      pair=True)
+        bb = _require_bb(
+            _pick_bb(B, nx, K, H, u.shape[-1], v.shape[-1], backward=False,
+                     pair=True),
+            "pair forward")
         kernel = functools.partial(_pair_fwd_kernel, bb=bb, nx=nx, mm=mm)
-        out = pl.pallas_call(
+        row_spec = _spec_rows(bb * nx, (H,))
+        row_shape = jax.ShapeDtypeStruct((B * nx, H), h.dtype)
+        out, gn, ln = pl.pallas_call(
             kernel,
             grid=(B // bb,),
-            in_specs=_common_specs(h, u, px, v, E, G, A, bb, nx)
+            in_specs=[
+                _spec_rows(bb * nx, h.shape[2:]),
+                _spec_rows(bb * nx, u.shape[2:]),
+                _spec_rows(bb * nx, px.shape[2:]),
+                _spec_rows(bb * nx, v.shape[2:]),
+                _spec_full(E.shape),
+                _spec_full(G.shape),
+                _spec_full(A.shape),
+            ]
             + [_spec_full(w.shape) for w in Wg]
             + [_spec_full(w.shape) for w in Wl],
-            out_specs=_spec_rows(bb * nx, (H,)),
-            out_shape=jax.ShapeDtypeStruct((B * nx, H), h.dtype),
+            out_specs=(row_spec, row_spec, row_spec),
+            out_shape=(row_shape, row_shape, row_shape),
             interpret=interpret,
-        )(_flatten(h), _flatten(u), _flatten(px), _flatten(v), E, G, A,
-          *Wg, *Wl)
-        return out.reshape(B, nx, H)
-
-    def _run_bwd(h, u, px, v, ega, Wg, Wl, g):
-        B, nx, H = h.shape
-        E, G, A = ega
-        K = E.shape[0] // nx
-        bb = _pick_bb(B, nx, K, H, u.shape[-1], v.shape[-1], backward=True,
-                      pair=True)
-        kernel = functools.partial(_pair_bwd_kernel, bb=bb, nx=nx, mm=mm)
-        allW = tuple(Wg) + tuple(Wl)
-        out_shapes = [jax.ShapeDtypeStruct((B * nx, H), h.dtype)] + [
-            jax.ShapeDtypeStruct(_grad_shape(w.shape), jnp.float32)
-            for w in allW
-        ]
-        out_specs = [_spec_rows(bb * nx, (H,))] + [
-            _spec_full(_grad_shape(w.shape)) for w in allW
-        ]
-        outs = pl.pallas_call(
-            kernel,
-            grid=(B // bb,),
-            in_specs=_common_specs(h, u, px, v, E, G, A, bb, nx)
-            + [_spec_full(w.shape) for w in allW]
-            + [_spec_rows(bb * nx, (H,))],
-            out_specs=tuple(out_specs),
-            out_shape=tuple(out_shapes),
-            interpret=interpret,
-        )(_flatten(h), _flatten(u), _flatten(px), _flatten(v), E, G, A,
-          *allW, _flatten(g))
-        dh = outs[0].reshape(B, nx, H)
-        dws = tuple(dw.reshape(w.shape) for dw, w in zip(outs[1:], allW))
-        return dh, dws[:12], dws[12:]
+        )(_flatten2d(h), _flatten2d(u), _flatten2d(px), _flatten2d(v),
+          E, G, A, *Wg, *Wl)
+        reshape = lambda x: x.reshape(B, nx, H)
+        return reshape(out), reshape(gn), reshape(ln)
 
     @jax.custom_vjp
     def fused(h, u, px, v, ega, Wg, Wl):
-        return _run_fwd(h, u, px, v, ega, Wg, Wl)
+        out, _, _ = _run_fwd(h, u, px, v, ega, Wg, Wl)
+        return out
 
     def fwd(h, u, px, v, ega, Wg, Wl):
-        return _run_fwd(h, u, px, v, ega, Wg, Wl), (h, u, px, v, ega, Wg, Wl)
+        out, gn, ln = _run_fwd(h, u, px, v, ega, Wg, Wl)
+        return out, (h, u, px, v, ega, Wg, Wl, gn, ln)
 
     def bwd(res, g):
-        h, u, px, v, ega, Wg, Wl = res
-        dh, dwg, dwl = _run_bwd(h, u, px, v, ega, Wg, Wl, g)
+        h, u, px, v, ega, Wg, Wl, gn, ln = res
+        # combine h' = (1-tau)*h + tau*swish(ln), tau = sigmoid(gn)
+        tau = jax.nn.sigmoid(gn)
+        dgn = g * (_swish(ln) - h) * tau * (1.0 - tau)
+        dln = g * tau * _dswish(ln)
+        dh_g, dwg = _layer_bwd_call(h, u, px, v, ega, Wg, dgn,
+                                    final_act=False, residual=False,
+                                    interpret=interpret, mm=mm)
+        dh_l, dwl = _layer_bwd_call(h, u, px, v, ega, Wl, dln,
+                                    final_act=False, residual=False,
+                                    interpret=interpret, mm=mm)
+        dh = g * (1.0 - tau) + dh_g + dh_l
         zeros = lambda t: jax.tree.map(jnp.zeros_like, t)
         return (dh, zeros(u), zeros(px), zeros(v), zeros(ega), dwg, dwl)
 

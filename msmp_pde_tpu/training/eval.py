@@ -157,6 +157,19 @@ def main(args):
     params = restored["params"]
     print(f"Loaded checkpoint {args.model_to_test} (epoch {restored['epoch']})")
 
+    # Evaluation data-parallelism over the device mesh, mirroring the train
+    # CLI: the metric programs shard their batch axis (metrics.py).
+    import math
+
+    from msmp_pde_tpu.parallel.mesh import make_mesh, replicate
+
+    dp = math.gcd(getattr(args, "dp", 0) or len(jax.devices()),
+                  args.batch_size)
+    if dp > 1:
+        trainer.mesh = make_mesh(dp)
+        params = replicate(trainer.mesh, params)
+        print(f"Evaluation data parallelism over {dp} devices")
+
     def to_device(ds):
         return (
             jnp.asarray(ds.u_super),

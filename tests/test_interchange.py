@@ -111,6 +111,93 @@ def test_real_torch_reference_files_load():
         assert 0.5 < float(ds.u_super.std()) < 2.0
 
 
+def _h5_test_group(path, key="pde_250-100"):
+    """Read the test-mode field array, skipping when the file is absent,
+    locked (generator still writing), or trailing-zero incomplete."""
+    if not os.path.exists(path):
+        pytest.skip(f"{path} not present")
+    try:
+        with h5py.File(path, "r") as f:
+            u = f["test"][key][:]
+    except (OSError, KeyError):
+        pytest.skip(f"{path} locked or incomplete (generation running)")
+    if not np.any(u[-1]):
+        pytest.skip(f"{path} still being generated (trailing zeros)")
+    return u
+
+
+def _assert_statistics_match(a, b, spec_modes=16, spec_lo=0.6, spec_hi=1.6,
+                             std_rtol=0.08, mean_atol=0.03):
+    """Distribution-level dataset equivalence: mean, std, and the time-mean
+    spatial power spectrum (the same check validated on E1 below). a, b are
+    [..., nt, nx] field arrays from our datagen and the torch reference's."""
+    assert abs(a.mean() - b.mean()) < mean_atol, (a.mean(), b.mean())
+    assert abs(a.std() - b.std()) / b.std() < std_rtol, (a.std(), b.std())
+    sa = (np.abs(np.fft.rfft(a, axis=-1)) ** 2).reshape(-1, a.shape[-1] // 2 + 1).mean(axis=0)
+    sb = (np.abs(np.fft.rfft(b, axis=-1)) ** 2).reshape(-1, b.shape[-1] // 2 + 1).mean(axis=0)
+    ratio = sa[1:spec_modes] / sb[1:spec_modes]
+    assert np.all(ratio > spec_lo) and np.all(ratio < spec_hi), ratio
+
+
+def test_mswg3_statistics_match_reference():
+    """AD/MSWG3 (2-component, triple-von-Mises ICs): our exact-characteristics
+    datagen vs the unmodified torch reference generator
+    (generate_data.py:652-832 via experiments/torchref_gen.py), per component
+    (VERDICT r2 #6: broaden interchange beyond E1/KS)."""
+    ref = _h5_test_group(os.path.join(TORCHREF_DIR, "AD_test_MSWG3.h5"))
+    ours = _h5_test_group("data/AD_MSWG3.h5")
+    assert ref.shape[1:] == (2, 250, 100) and ours.shape[1:] == (2, 250, 100)
+    for c in range(2):
+        _assert_statistics_match(ours[:, c], ref[:, c])
+
+
+def test_rp_statistics_match_reference():
+    """AD/RP (sinesum ICs) statistics vs the torch reference generator."""
+    ref = _h5_test_group(os.path.join(TORCHREF_DIR, "AD_test_RP.h5"))
+    ours = _h5_test_group("data/AD_RP.h5")
+    for c in range(2):
+        _assert_statistics_match(ours[:, c], ref[:, c])
+
+
+def test_kf_statistics_match_reference():
+    """KF (Kolmogorov–Fisher) statistics vs the torch reference generator
+    (generate_data.py:419-542, torchdiffeq shimmed to scipy RK45).
+
+    The reference draws ONE (r, D) pair per solver batch
+    (generate_data.py:491-493), so its reduced-scale test set has only a
+    couple of distinct reaction rates — the marginal field mean is set by
+    those few draws (measured: mean 0.32 at r∈{0.08, 0.79} vs 0.42 under
+    the full r~U(0,2) marginal; z≈3 purely from conditioning, NOT
+    generator disagreement). The comparison must therefore be CONDITIONAL
+    on r: fit our per-sample trajectory mean as a function of r and check
+    it predicts the reference's per-sample means at the reference's own r
+    draws (measured agreement 0.012)."""
+    ref = _h5_test_group(os.path.join(TORCHREF_DIR, "KF_test_KF.h5"))
+    ours = _h5_test_group("data/KF_KF.h5")
+    with h5py.File(os.path.join(TORCHREF_DIR, "KF_test_KF.h5"), "r") as f:
+        r_ref = f["test"]["r"][:]
+    with h5py.File("data/KF_KF.h5", "r") as f:
+        r_ours = f["test"]["r"][:]
+
+    pm_ref = ref.mean(axis=(1, 2))
+    pm_ours = ours.mean(axis=(1, 2))
+    # the Fisher reaction rate drives the field toward u=1: per-sample
+    # mean must increase with r in BOTH datasets
+    assert np.corrcoef(r_ref, pm_ref)[0, 1] > 0.3
+    assert np.corrcoef(r_ours, pm_ours)[0, 1] > 0.3
+    # conditional mean: our r->mean curve evaluated at the reference's r
+    # draws must reproduce the reference's mean
+    order = np.argsort(r_ours)
+    pred = np.interp(r_ref, r_ours[order], pm_ours[order])
+    assert abs(float(pred.mean()) - float(pm_ref.mean())) < 0.05, (
+        pred.mean(), pm_ref.mean())
+    # reaction-driven growth: late-time mean above the trajectory mean
+    assert float(ours[:, -1].mean()) > float(ours.mean())
+    assert float(ref[:, -1].mean()) > float(ref.mean())
+    # non-negativity (u=0 is the unstable fixed point; u0 is squared)
+    assert float(ours.min()) >= 0.0 and float(ref.min()) >= 0.0
+
+
 @pytest.mark.skipif(
     not (os.path.exists(os.path.join(TORCHREF_DIR, "CE_test_E1.h5"))
          and os.path.exists("data/CE_E1.h5")),
