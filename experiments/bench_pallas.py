@@ -87,6 +87,8 @@ def main():
         ("xla", "xla", "float32"),
         ("pallas", "xla", "float32"),
         ("pallas_pair", "xla", "float32"),
+        ("pallas", "xla", "bfloat16s"),
+        ("pallas_pair", "xla", "bfloat16s"),
     ):
         r[(mp, lem, prec)] = bench_impl(mp, lem_impl=lem, mp_precision=prec)
     base = r[("xla", "xla", "float32")]

@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-3 queue C (chains after r3b):
+#  1. re-run the fused-pair A/B after the backward rework (VERDICT #4),
+#     now incl. the native-bf16-storage variants (bfloat16s)
+set -u
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
+echo $$ > /tmp/tpu_queue_r3c.pid
+
+# wait for r3b to drain
+while [ -f /tmp/tpu_queue_r3b.pid ] && kill -0 "$(cat /tmp/tpu_queue_r3b.pid)" 2>/dev/null; do
+  sleep 60
+done
+
+run() {
+  log=$1; shift
+  for attempt in 1 2 3 4 5 6 7 8 9 10; do
+    echo "=== $(date +%H:%M:%S) RUN: $* ==="
+    timeout 7200 "$@" > "$log" 2>&1
+    rc=$?
+    echo "=== $(date +%H:%M:%S) exit $rc ==="
+    [ $rc -eq 0 ] && return 0
+    grep -q "No jellyfish device found\|Unable to initialize backend" "$log" || return 1
+    sleep 60
+  done
+}
+
+run experiments/log/bench_pallas_r3c.log \
+  python experiments/bench_pallas.py
+
+echo "R3C COMPLETE"

@@ -230,7 +230,7 @@ class MPSolver(nn.Module):
     dt: float = 4.0 / 249
     mp_impl: str = "auto"  # auto | pallas | xla (ops/mp_pallas.py)
     lem_impl: str = "auto"  # auto | pallas | xla (ops/lem_pallas.py)
-    mp_precision: str = "float32"  # float32 | bfloat16 (Pallas matmul operands)
+    mp_precision: str = "float32"  # float32 | bfloat16 | bfloat16s (Pallas)
 
     @nn.compact
     def __call__(self, window, pos_x, t, var_vec, idx, mask, lem_state=None):

@@ -343,13 +343,51 @@ def _require_bb(bb, what):
     return bb
 
 
+def _parse_mm(mm_dtype: str):
+    """mm_dtype -> (matmul operand dtype or None, storage flag).
+
+    "bfloat16s" is STORAGE mode: kernel inputs (h/u/px/v/E/G/A) and weights
+    are pre-cast to bf16 OUTSIDE the kernel, so they arrive in native bf16
+    tiling and the in-kernel ``astype`` is a no-op — only the intermediate
+    activations still cast before their matmuls. This removes 19 Mosaic
+    f32->bf16 relayouts per kernel vs plain "bfloat16" (the measured reason
+    bf16 operands lost to f32 at these shapes, NOTES_ROUND3.md)."""
+    if mm_dtype == "float32":
+        return None, False
+    if mm_dtype == "bfloat16":
+        return jnp.dtype(jnp.bfloat16), False
+    if mm_dtype == "bfloat16s":
+        return jnp.dtype(jnp.bfloat16), True
+    raise ValueError(f"unknown mp_precision {mm_dtype!r}")
+
+
+_BIAS_IDX = frozenset((5, 7, 9, 11))  # b1/b2/b3/b4 in the 12-tuple
+
+
+def _cast_w(W):
+    """Cast the weight MATRICES to bf16; biases stay f32 — they are added,
+    never matmul'd, so casting them costs accuracy and buys no MXU pass."""
+    return tuple(w if i in _BIAS_IDX else w.astype(jnp.bfloat16)
+                 for i, w in enumerate(W))
+
+
+def _cast_tree(storage, h, u, px, v, E, G, A, *Ws):
+    """Storage-mode pre-cast of kernel inputs and weight tuples."""
+    if not storage:
+        return (h, u, px, v, E, G, A) + Ws
+    cast = lambda a: a.astype(jnp.bfloat16)
+    return tuple(map(cast, (h, u, px, v, E, G, A))) + tuple(
+        _cast_w(W) for W in Ws)
+
+
 def _layer_bwd_call(h, u, px, v, ega, W, g, *, final_act, residual,
-                    interpret, mm):
+                    interpret, mm, storage=False):
     """Single-layer backward pallas_call: g is the cotangent of the layer's
     normalized output; returns (dh, 12 weight grads in param shapes).
     Module-level so the fused PAIR's VJP can reuse it per layer."""
     B, nx, H = h.shape
     E, G, A = ega
+    h, u, px, v, E, G, A, W = _cast_tree(storage, h, u, px, v, E, G, A, W)
     K = E.shape[0] // nx
     bb = _require_bb(
         _pick_bb(B, nx, K, H, u.shape[-1], v.shape[-1], backward=True),
@@ -358,7 +396,7 @@ def _layer_bwd_call(h, u, px, v, ega, W, g, *, final_act, residual,
         _bwd_kernel, final_act=final_act, residual=residual,
         bb=bb, nx=nx, mm=mm,
     )
-    out_shapes = [jax.ShapeDtypeStruct((B * nx, H), h.dtype)] + [
+    out_shapes = [jax.ShapeDtypeStruct((B * nx, H), g.dtype)] + [
         jax.ShapeDtypeStruct(_grad_shape(w.shape), jnp.float32) for w in W
     ]
     out_specs = [_spec_rows(bb * nx, (H,))] + [
@@ -401,13 +439,16 @@ def make_fused_layer(final_act: bool, residual: bool, interpret: bool,
     accumulation (one MXU pass; activations, norm statistics, and weight-
     gradient accumulation stay f32). The 0/1 gather matrices are exact in
     bf16; the masked-mean 1/deg entries round at bf16 ulp (2^-8), the same
-    order as the operand rounding itself.
+    order as the operand rounding itself. ``"bfloat16s"`` additionally
+    pre-casts the kernel inputs/weights outside the kernel (see _parse_mm).
     """
-    mm = None if mm_dtype == "float32" else jnp.dtype(mm_dtype)
+    mm, storage = _parse_mm(mm_dtype)
 
     def _run_fwd(h, u, px, v, ega, W):
         B, nx, H = h.shape
+        out_dtype = h.dtype
         E, G, A = ega
+        h, u, px, v, E, G, A, W = _cast_tree(storage, h, u, px, v, E, G, A, W)
         K = E.shape[0] // nx
         bb = _require_bb(
             _pick_bb(B, nx, K, H, u.shape[-1], v.shape[-1], backward=False),
@@ -429,7 +470,7 @@ def make_fused_layer(final_act: bool, residual: bool, interpret: bool,
                 _spec_full(A.shape),
             ] + [_spec_full(w.shape) for w in W],
             out_specs=_spec_rows(bb * nx, (H,)),
-            out_shape=jax.ShapeDtypeStruct((B * nx, H), h.dtype),
+            out_shape=jax.ShapeDtypeStruct((B * nx, H), out_dtype),
             interpret=interpret,
         )(_flatten2d(h), _flatten2d(u), _flatten2d(px), _flatten2d(v),
           E, G, A, *W)
@@ -446,7 +487,8 @@ def make_fused_layer(final_act: bool, residual: bool, interpret: bool,
         h, u, px, v, ega, W = res
         dh, dws = _layer_bwd_call(h, u, px, v, ega, W, g,
                                   final_act=final_act, residual=residual,
-                                  interpret=interpret, mm=mm)
+                                  interpret=interpret, mm=mm,
+                                  storage=storage)
         zeros = lambda t: jax.tree.map(jnp.zeros_like, t)
         return (dh, zeros(u), zeros(px), zeros(v), zeros(ega), dws)
 
@@ -475,11 +517,14 @@ def make_fused_pair(interpret: bool, mm_dtype: str = "float32"):
     layer. One kernel recomputing BOTH layers' intermediates would need
     ~2x the single-layer VMEM and does not fit at production shapes.
     """
-    mm = None if mm_dtype == "float32" else jnp.dtype(mm_dtype)
+    mm, storage = _parse_mm(mm_dtype)
 
     def _run_fwd(h, u, px, v, ega, Wg, Wl):
         B, nx, H = h.shape
+        out_dtype = h.dtype
         E, G, A = ega
+        h, u, px, v, E, G, A, Wg, Wl = _cast_tree(
+            storage, h, u, px, v, E, G, A, Wg, Wl)
         K = E.shape[0] // nx
         bb = _require_bb(
             _pick_bb(B, nx, K, H, u.shape[-1], v.shape[-1], backward=False,
@@ -487,7 +532,7 @@ def make_fused_pair(interpret: bool, mm_dtype: str = "float32"):
             "pair forward")
         kernel = functools.partial(_pair_fwd_kernel, bb=bb, nx=nx, mm=mm)
         row_spec = _spec_rows(bb * nx, (H,))
-        row_shape = jax.ShapeDtypeStruct((B * nx, H), h.dtype)
+        row_shape = jax.ShapeDtypeStruct((B * nx, H), out_dtype)
         out, gn, ln = pl.pallas_call(
             kernel,
             grid=(B // bb,),
@@ -527,10 +572,12 @@ def make_fused_pair(interpret: bool, mm_dtype: str = "float32"):
         dln = g * tau * _dswish(ln)
         dh_g, dwg = _layer_bwd_call(h, u, px, v, ega, Wg, dgn,
                                     final_act=False, residual=False,
-                                    interpret=interpret, mm=mm)
+                                    interpret=interpret, mm=mm,
+                                    storage=storage)
         dh_l, dwl = _layer_bwd_call(h, u, px, v, ega, Wl, dln,
                                     final_act=False, residual=False,
-                                    interpret=interpret, mm=mm)
+                                    interpret=interpret, mm=mm,
+                                    storage=storage)
         dh = g * (1.0 - tau) + dh_g + dh_l
         zeros = lambda t: jax.tree.map(jnp.zeros_like, t)
         return (dh, zeros(u), zeros(px), zeros(v), zeros(ega), dwg, dwl)

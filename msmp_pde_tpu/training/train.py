@@ -233,9 +233,11 @@ def build_parser():
                    help="dataset filename suffix, e.g. '_I' for the "
                         "interpolated RPU files")
     p.add_argument("--mp_precision", type=str, default="float32",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "bfloat16s"],
                    help="matmul operand dtype inside the fused Pallas MP "
-                        "kernel (f32 accumulation either way)")
+                        "kernel (f32 accumulation either way); 'bfloat16s' "
+                        "pre-casts kernel inputs/weights outside the kernel "
+                        "(native-bf16 storage, no in-kernel input relayouts)")
     return p
 
 

@@ -151,6 +151,50 @@ def test_bf16_gradient_close():
     jax.tree_util.tree_map_with_path(check, gx_p, gb_p)
 
 
+def test_bf16_storage_close_to_f32():
+    """mm_dtype='bfloat16s' (inputs/weight matrices pre-cast OUTSIDE the
+    kernel — native-bf16 storage; biases stay f32) performs the same bf16-
+    operand matmuls as 'bfloat16' modulo the once-rounded residual h, so
+    outputs and grads must sit within bf16 operand-rounding distance of
+    the f32 path AND very close to the in-kernel-cast bf16 path."""
+    h, u, px, v, idx, mask = _inputs()
+    layer = GNNLayer(hidden=32, final_act=True, residual=True)
+    params = layer.init(jax.random.PRNGKey(0), h, u, px, v, idx, mask)
+    r = jnp.asarray(
+        np.random.default_rng(7).normal(size=(3, 24, 32)).astype(np.float32)
+    )
+
+    def run(mm):
+        def loss(p, h):
+            out = layer.apply(p, h, u, px, v, idx, mask,
+                              ega=(edge_matrices(idx, mask), True, mm))
+            return jnp.sum(out * r), out
+
+        (l, out), g = jax.value_and_grad(loss, argnums=(0, 1),
+                                         has_aux=True)(params, h)
+        return out, g
+
+    out_f, (gp_f, gh_f) = run("float32")
+    out_b, _ = run("bfloat16")
+    out_s, (gp_s, gh_s) = run("bfloat16s")
+    assert out_s.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_f),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_b),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(gh_s), np.asarray(gh_f),
+                               rtol=1e-1, atol=1e-1)
+
+    def check(path, vf, vs):
+        scale = max(np.abs(np.asarray(vf)).max(), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(vs) / scale, np.asarray(vf) / scale,
+            rtol=1e-1, atol=2e-2, err_msg=str(path),
+        )
+
+    jax.tree_util.tree_map_with_path(check, gp_f, gp_s)
+
+
 def test_fused_pair_model_parity():
     """MSMP-PDE with mp_impl='pallas_pair' (ONE fused kernel per gated
     layer+gate pair incl. the combine) must match mp_impl='xla' with the
