@@ -228,7 +228,7 @@ class MPSolver(nn.Module):
     L: float = 16.0
     tmax: float = 4.0
     dt: float = 4.0 / 249
-    mp_impl: str = "auto"  # auto | pallas | xla (ops/mp_pallas.py)
+    mp_impl: str = "auto"  # auto | pallas | pallas_pair | xla (ops/mp_pallas.py)
     lem_impl: str = "auto"  # auto | pallas | xla (ops/lem_pallas.py)
     mp_precision: str = "float32"  # float32 | bfloat16 | bfloat16s (Pallas)
 
@@ -285,9 +285,12 @@ class MPSolver(nn.Module):
                         fused_gated_pair, pallas_feasible,
                     )
 
+                    # auto: the fused PAIR measured fastest for sigmoid-
+                    # gated models (2.318 vs 2.420 ms/step single-kernel,
+                    # RESULTS.md round-3 A/B)
                     pair_ok = (
                         self.gate == "sigmoid" and ega is not None
-                        and self.mp_impl == "pallas_pair"
+                        and self.mp_impl in ("pallas_pair", "auto")
                         and pallas_feasible(
                             window.shape[0], nx, idx.shape[1], self.hidden,
                             window.shape[-1], variables.shape[-1], pair=True)
