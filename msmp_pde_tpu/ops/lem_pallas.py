@@ -29,15 +29,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS = 512  # row-tile size
+ROWS_FWD = 1024  # row-tile sizes: fewer, larger sequential grid steps
+ROWS_BWD = 512   # the backward streams ~2x the arrays -> smaller tile
 
 
 def _sig(x):
     return jax.nn.sigmoid(x)
 
 
-def _fwd_kernel(gx, zx, y0, z0, wy, wzz, yT, zT, ys, zs, y_s, z_s, *,
-                T, H, dt):
+def _fwd_kernel(gx, zx, y0, z0, wy, wzz, yT, zT, *rest, T, H, dt,
+                stash: bool):
+    if stash:
+        ys, zs, y_s, z_s = rest
+    else:
+        y_s, z_s = rest
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -54,8 +59,9 @@ def _fwd_kernel(gx, zx, y0, z0, wy, wzz, yT, zT, ys, zs, y_s, z_s, *,
     y_new = (1.0 - dt2) * y_s[...] + dt2 * jnp.tanh(a)
     y_s[...] = y_new
     z_s[...] = z_new
-    ys[0] = y_new
-    zs[0] = z_new
+    if stash:
+        ys[0] = y_new
+        zs[0] = z_new
 
     @pl.when(t == T - 1)
     def _():
@@ -131,15 +137,15 @@ def _bwd_kernel(gx, zx, y0, z0, wy, wzz, ysp, zsp, zsc, dyT, dzT,
         dz0[...] = dz_prev
 
 
-def _row(shape_tail):
-    """Block over the row-tile axis: [N, ...] -> (ROWS, ...) at tile i."""
-    return pl.BlockSpec((ROWS,) + shape_tail,
+def _row(rows, shape_tail):
+    """Block over the row-tile axis: [N, ...] -> (rows, ...) at tile i."""
+    return pl.BlockSpec((rows,) + shape_tail,
                         lambda i, t: (i,) + (0,) * len(shape_tail),
                         memory_space=pltpu.VMEM)
 
 
-def _timed(shape_tail, T=None):
-    """Block over (time, row-tile): [T, N, ...] -> (1, ROWS, ...);
+def _timed(rows, shape_tail, T=None):
+    """Block over (time, row-tile): [T, N, ...] -> (1, rows, ...);
     with T given, time runs reversed (backward sweep)."""
     if T is not None:
         def imap(i, t, T=T):
@@ -148,17 +154,17 @@ def _timed(shape_tail, T=None):
         def imap(i, t):
             return (t, i, 0)
 
-    return pl.BlockSpec((1, ROWS) + shape_tail, imap,
+    return pl.BlockSpec((1, rows) + shape_tail, imap,
                         memory_space=pltpu.VMEM)
 
 
-def _timed_prev(shape_tail, T):
+def _timed_prev(rows, shape_tail, T):
     """Like _timed(T) but one step earlier (clamped at 0)."""
     def imap(i, t, T=T):
         tr = T - 1 - t
         return (jnp.maximum(tr - 1, 0), i, 0)
 
-    return pl.BlockSpec((1, ROWS) + shape_tail, imap,
+    return pl.BlockSpec((1, rows) + shape_tail, imap,
                         memory_space=pltpu.VMEM)
 
 
@@ -168,37 +174,44 @@ def _full(shape):
 
 
 @functools.lru_cache(maxsize=None)
-def make_lem_scan(dt: float, interpret: bool):
+def make_lem_scan(dt: float, interpret: bool, rows_fwd: int = ROWS_FWD,
+                  rows_bwd: int = ROWS_BWD):
     """custom-VJP LEM scan: (gx [T,N,3H], zx [T,N,H], y0, z0 [N,H],
-    wy [H,3H], wzz [H,H]) -> (y_T, z_T). N must be a multiple of ROWS
-    (lem_scan pads)."""
+    wy [H,3H], wzz [H,H]) -> (y_T, z_T). N must be a multiple of the row
+    tiles (lem_scan pads). The primal (no-grad) path runs a stash-free
+    kernel — no [T,N,H] state writes to HBM; under AD, the fwd stashes
+    per-step states for the true-BPTT backward."""
 
-    def _run_fwd(gx, zx, y0, z0, wy, wzz):
+    def _run_fwd(gx, zx, y0, z0, wy, wzz, stash):
         T, N, H3 = gx.shape
         H = H3 // 3
-        kern = functools.partial(_fwd_kernel, T=T, H=H, dt=dt)
+        R = min(rows_fwd, N)
+        kern = functools.partial(_fwd_kernel, T=T, H=H, dt=dt, stash=stash)
         f32 = jnp.float32
+        out_specs = [_row(R, (H,)), _row(R, (H,))]
+        out_shape = [
+            jax.ShapeDtypeStruct((N, H), f32),
+            jax.ShapeDtypeStruct((N, H), f32),
+        ]
+        if stash:
+            out_specs += [_timed(R, (H,)), _timed(R, (H,))]
+            out_shape += [
+                jax.ShapeDtypeStruct((T, N, H), f32),
+                jax.ShapeDtypeStruct((T, N, H), f32),
+            ]
         return pl.pallas_call(
             kern,
-            grid=(N // ROWS, T),
+            grid=(N // R, T),
             in_specs=[
-                _timed((3 * H,)),             # gx
-                _timed((H,)),                 # zx
-                _row((H,)), _row((H,)),       # y0, z0
+                _timed(R, (3 * H,)),                # gx
+                _timed(R, (H,)),                    # zx
+                _row(R, (H,)), _row(R, (H,)),       # y0, z0
                 _full((H, 3 * H)), _full((H, H)),
             ],
-            out_specs=(
-                _row((H,)), _row((H,)),
-                _timed((H,)), _timed((H,)),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((N, H), f32),
-                jax.ShapeDtypeStruct((N, H), f32),
-                jax.ShapeDtypeStruct((T, N, H), f32),
-                jax.ShapeDtypeStruct((T, N, H), f32),
-            ),
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             scratch_shapes=[
-                pltpu.VMEM((ROWS, H), f32), pltpu.VMEM((ROWS, H), f32),
+                pltpu.VMEM((R, H), f32), pltpu.VMEM((R, H), f32),
             ],
             interpret=interpret,
         )(gx, zx, y0, z0, wy, wzz)
@@ -207,25 +220,26 @@ def make_lem_scan(dt: float, interpret: bool):
         gx, zx, y0, z0, wy, wzz, ys, zs = res
         T, N, H3 = gx.shape
         H = H3 // 3
+        R = min(rows_bwd, N)
         kern = functools.partial(_bwd_kernel, T=T, H=H, dt=dt)
         f32 = jnp.float32
         return pl.pallas_call(
             kern,
-            grid=(N // ROWS, T),
+            grid=(N // R, T),
             in_specs=[
-                _timed((3 * H,), T),          # gx at tr
-                _timed((H,), T),              # zx at tr
-                _row((H,)), _row((H,)),       # y0, z0
+                _timed(R, (3 * H,), T),             # gx at tr
+                _timed(R, (H,), T),                 # zx at tr
+                _row(R, (H,)), _row(R, (H,)),       # y0, z0
                 _full((H, 3 * H)), _full((H, H)),
-                _timed_prev((H,), T),         # ys at tr-1
-                _timed_prev((H,), T),         # zs at tr-1
-                _timed((H,), T),              # zs at tr
-                _row((H,)), _row((H,)),       # dyT, dzT
+                _timed_prev(R, (H,), T),            # ys at tr-1
+                _timed_prev(R, (H,), T),            # zs at tr-1
+                _timed(R, (H,), T),                 # zs at tr
+                _row(R, (H,)), _row(R, (H,)),       # dyT, dzT
             ],
             out_specs=(
-                _timed((3 * H,), T),          # dgx
-                _timed((H,), T),              # dzx
-                _row((H,)), _row((H,)),       # dy0, dz0
+                _timed(R, (3 * H,), T),             # dgx
+                _timed(R, (H,), T),                 # dzx
+                _row(R, (H,)), _row(R, (H,)),       # dy0, dz0
                 _full((H, 3 * H)), _full((H, H)),
             ),
             out_shape=(
@@ -237,18 +251,18 @@ def make_lem_scan(dt: float, interpret: bool):
                 jax.ShapeDtypeStruct((H, H), f32),
             ),
             scratch_shapes=[
-                pltpu.VMEM((ROWS, H), f32), pltpu.VMEM((ROWS, H), f32),
+                pltpu.VMEM((R, H), f32), pltpu.VMEM((R, H), f32),
             ],
             interpret=interpret,
         )(gx, zx, y0, z0, wy, wzz, ys, zs, zs, dyT, dzT)
 
     @jax.custom_vjp
     def scan(gx, zx, y0, z0, wy, wzz):
-        yT, zT, _, _ = _run_fwd(gx, zx, y0, z0, wy, wzz)
+        yT, zT = _run_fwd(gx, zx, y0, z0, wy, wzz, stash=False)
         return yT, zT
 
     def fwd(gx, zx, y0, z0, wy, wzz):
-        yT, zT, ys, zs = _run_fwd(gx, zx, y0, z0, wy, wzz)
+        yT, zT, ys, zs = _run_fwd(gx, zx, y0, z0, wy, wzz, stash=True)
         return (yT, zT), (gx, zx, y0, z0, wy, wzz, ys, zs)
 
     def bwd(res, cots):
@@ -261,7 +275,8 @@ def make_lem_scan(dt: float, interpret: bool):
 
 
 def lem_scan(gx, zx, y0, z0, wy, wzz, *, dt: float = 1.0,
-             interpret: bool = False):
+             interpret: bool = False, rows_fwd: int = ROWS_FWD,
+             rows_bwd: int = ROWS_BWD):
     """Pad rows to the tile size and run the fused scan.
 
     gx [T, N, 3H] (input projection + bias, time-major), zx [T, N, H],
@@ -269,14 +284,16 @@ def lem_scan(gx, zx, y0, z0, wy, wzz, *, dt: float = 1.0,
     Padded rows have zero cotangents, so weight grads are unaffected.
     """
     T, N, H3 = gx.shape
-    pad = (-N) % ROWS
+    tile = max(rows_fwd, rows_bwd)
+    pad = (-N) % tile
     if pad:
         rp = [(0, 0), (0, pad), (0, 0)]
         gx = jnp.pad(gx, rp)
         zx = jnp.pad(zx, rp)
         y0 = jnp.pad(y0, [(0, pad), (0, 0)])
         z0 = jnp.pad(z0, [(0, pad), (0, 0)])
-    yT, zT = make_lem_scan(float(dt), interpret)(gx, zx, y0, z0, wy, wzz)
+    yT, zT = make_lem_scan(float(dt), interpret, rows_fwd,
+                           rows_bwd)(gx, zx, y0, z0, wy, wzz)
     if pad:
         yT, zT = yT[:N], zT[:N]
     return yT, zT
