@@ -144,18 +144,28 @@ def main():
 
     # MFU from XLA's own cost model: FLOPs of the whole fused pass
     # (n_steps optimizer steps incl. pushforward fwd+bwd+AdamW), divided by
-    # the measured wall-clock per pass.
+    # the measured wall-clock per pass. cost_analysis cannot see inside
+    # Pallas custom calls, so the FLOPs come from lowering the
+    # mathematically identical mp_impl="xla" pass (same model function,
+    # all ops visible to XLA); the wall-clock stays the production
+    # (Pallas) measurement.
     try:
-        compiled = fn.lower(params, opt_state, u_all, var_all, idx, steps,
-                            flags).compile()
+        trainer_x = _make_trainer(tw=tw, nx=nx, n_layers=6, mp_impl="xla")
+        params_x = trainer_x.init_params(jax.random.PRNGKey(0), batch_size=B)
+        fn_x = trainer_x.train_pass_fn(tx, max_unroll=1)
+        compiled = fn_x.lower(params_x, tx.init(params_x), u_all, var_all,
+                              idx, steps, flags).compile()
         flops_per_pass = float(compiled.cost_analysis()["flops"])
     except Exception as e:  # cost_analysis availability differs per backend
-        flops_per_pass = float("nan")
+        flops_per_pass = None
         print(f"# cost_analysis unavailable: {e!r}")
-    sustained = flops_per_pass / (dt / n_passes)
-    flops_per_step = flops_per_pass / n_steps
-    mfu_bf16 = 100.0 * sustained / V5E_PEAK_BF16_FLOPS
-    mfu_f32 = 100.0 * sustained / V5E_PEAK_F32_FLOPS
+    if flops_per_pass and np.isfinite(flops_per_pass) and flops_per_pass > 0:
+        sustained = flops_per_pass / (dt / n_passes)
+        flops_per_step = flops_per_pass / n_steps
+        mfu_bf16 = round(100.0 * sustained / V5E_PEAK_BF16_FLOPS, 2)
+        mfu_f32 = round(100.0 * sustained / V5E_PEAK_F32_FLOPS, 2)
+    else:
+        flops_per_step = mfu_bf16 = mfu_f32 = None
 
     datagen_sps = bench_datagen_e1()
     print(
@@ -174,11 +184,13 @@ def main():
                     "no estimates. Train-step A100 ratio is an estimate; see "
                     "vs_a100_train_step_estimated."
                 ),
-                "mfu_pct": round(mfu_bf16, 2),
-                "mfu_pct_vs_f32_peak": round(mfu_f32, 2),
+                "mfu_pct": mfu_bf16,
+                "mfu_pct_vs_f32_peak": mfu_f32,
                 "mfu_provenance": (
-                    "XLA compiled.cost_analysis() FLOPs / measured wall-clock;"
-                    " v5e peaks 197 TFLOP/s bf16 (matmuls run at "
+                    "cost_analysis() FLOPs of the mathematically identical "
+                    "mp_impl=xla lowering (cost_analysis cannot see inside "
+                    "Pallas custom calls) / measured production wall-clock; "
+                    "v5e peaks 197 TFLOP/s bf16 (matmuls run at "
                     "Precision.DEFAULT = single bf16 MXU pass) and 49.2 f32"
                 ),
                 "flops_per_step": flops_per_step,
