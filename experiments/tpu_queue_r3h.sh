@@ -20,6 +20,7 @@ run() {
     echo "=== $(date +%H:%M:%S) exit $rc ==="
     [ $rc -eq 0 ] && return 0
     grep -q "No jellyfish device found\|Unable to initialize backend" "$log" || return 1
+    sleep 60
   done
 }
 
