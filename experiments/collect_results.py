@@ -1,0 +1,151 @@
+"""Harvest final metrics from experiments/log/train_*.log into one table.
+
+Each training log ends with the reference-format footer
+(train.py prints: "Min Relative Val L2 Error: X %", "Relative Test L2
+Error: X %", "Elapsed Time : S").  This collects every completed at-scale
+run into a single markdown table (task, model, val/test relative L2,
+wall-clock) so RESULTS.md can carry one master inventory instead of
+per-queue snippets.  Logs without a footer (in-flight or killed runs)
+are listed as pending.
+
+Usage: python experiments/collect_results.py [--update]
+  --update rewrites the MASTER TABLE block in RESULTS.md in place
+  (between the '<!-- master-table:begin -->' / 'end' markers).
+"""
+import glob
+import os
+import re
+import sys
+
+# log filename -> (task, model, note). Filenames encode task first; the
+# suffix names the model or the run variant.
+RUNS = {
+    "train_E1.log": ("E1", "MSMP-PDE", "round-1 headline"),
+    "train_E1_pair.log": ("E1", "MSMP-PDE", "fused gated-pair kernel (production auto)"),
+    "train_E1_MPPDE.log": ("E1", "MP-PDE", "plain-MP ablation baseline"),
+    "train_E1_Gated.log": ("E1", "Gated", "gate, no temporal encoder"),
+    "train_E1_LSTMGated.log": ("E1", "LSTMGated", "gate + LSTM encoder"),
+    "train_E1_MSGMP.log": ("E1", "MSGMP-PDE", "GLU decoder variant"),
+    "train_E1_MSSMP.log": ("E1", "MSSMP-PDE", "twin-tower scale/diff"),
+    "train_E1_SaveMSMP.log": ("E1", "SaveMSMP-PDE", "stateful LEM across windows"),
+    "train_E1_LEM.log": ("E1", "LEM", "pure-recurrent, no GNN"),
+    "train_E1_LSTM.log": ("E1", "LSTM", "pure-recurrent, no GNN"),
+    "train_E1_BaseCNN.log": ("E1", "BaseCNN", ""),
+    "train_E1_FNO.log": ("E1", "FNO", ""),
+    "train_E1_VNO.log": ("E1", "VNO", "nonequispaced FNO"),
+    "train_E1_torchref.log": ("E1", "MSMP-PDE", "trained on torch-reference-generated data"),
+    "train_E2.log": ("E2", "MSMP-PDE", ""),
+    "train_E3.log": ("E3", "MSMP-PDE", ""),
+    "train_E3_FNOP.log": ("E3", "FNOP", "param-conditioned FNO"),
+    "train_kdv.log": ("kdv", "MSMP-PDE", "reference schedule"),
+    "train_kdv_long.log": ("kdv", "MSMP-PDE", "30 epochs, late milestones"),
+    "train_kdv_tw50.log": ("kdv", "MSMP-PDE", "tw=50 (best kdv)"),
+    "train_kdv_FNO.log": ("kdv", "FNO", "cross-model bound"),
+    "train_kdv_BaseCNN.log": ("kdv", "BaseCNN", "cross-model bound"),
+    "train_WE1.log": ("WE1", "MSMP-PDE", ""),
+    "train_WE2.log": ("WE2", "MSMP-PDE", ""),
+    "train_WE3.log": ("WE3", "MSMP-PDE", ""),
+    "train_KF.log": ("KF", "MSMP-PDE", ""),
+    "train_KS.log": ("KS", "MSMP-PDE", "chaotic; see short-horizon metric"),
+    "train_KS_r3.log": ("KS", "MSMP-PDE", "chaotic: full-horizon rel L2; short-horizon (2 Lyapunov times) = 15.8%"),
+    "train_RP.log": ("RP", "FNO2DP", ""),
+    "train_RP_FNO2DP.log": ("RP", "FNO2DP", ""),
+    "train_RPU_30.log": ("RPU", "MSMP-PDE2D", "direct on unstructured grid, 30 epochs"),
+    "train_RPU_I.log": ("RPU", "MSMP-PDE2D", "interpolated *_I pipeline; 7.60% interpolated-back"),
+    "train_RPU_FNO2DPU.log": ("RPU", "FNO2DPU", "unstructured FNO"),
+    "train_MSWG.log": ("MSWG", "MSMP-PDE2D", ""),
+    "train_MSWG_BaseCNN2D.log": ("MSWG", "BaseCNN2D", ""),
+    "train_MSWG_FNO2D.log": ("MSWG", "FNO2D", ""),
+    "train_MSWG3.log": ("MSWG3", "MSMP-PDE2D", ""),
+    "train_MSWG3_MSG2.log": ("MSWG3", "MSG2-PDE2D", "gradient gate (best MSWG3)"),
+    "train_MSWG3_GLEM.log": ("MSWG3", "GLEMGated2D", "attention path (upstream dead code)"),
+    "train_MSWG3_MPPDE2D.log": ("MSWG3", "MP-PDE2D", "plain-MP 2D ablation baseline"),
+    "train_MSWG3_Gated2D.log": ("MSWG3", "Gated2D", "gate, no temporal encoder"),
+    "train_MSWG3_LSTMGated2D.log": ("MSWG3", "LSTMGated2D", "gate + LSTM encoder"),
+    "train_MSWG3_MSGMP2D.log": ("MSWG3", "MSGMP-PDE2D", "GLU decoder variant"),
+    "train_MSWG3_SaveMSMP2D.log": ("MSWG3", "SaveMSMP-PDE2D", "stateful LEM"),
+    "train_MSWG3_LEM2D.log": ("MSWG3", "LEM2D", "pure-recurrent, no GNN"),
+    "train_MSWG3_LSTM2D.log": ("MSWG3", "LSTM2D", "pure-recurrent, no GNN"),
+    "train_MSWG3_torchref.log": ("MSWG3", "MSMP-PDE2D", "trained on torch-reference-generated data"),
+}
+
+TASK_ORDER = ["E1", "E2", "E3", "kdv", "WE1", "WE2", "WE3", "KF", "KS",
+              "RP", "RPU", "MSWG", "MSWG3"]
+
+# Rows from rounds 1-2 whose logs were rotated out of experiments/log/
+# before this collector existed; values as recorded in RESULTS.md (the
+# "All 12 TaskIDs" table) at the time. (task, model, note, val, test, min)
+STATIC_ROWS = [
+    ("E1", "MSMP-PDE", "round-1 headline (beats numerical baseline)",
+     None, 6.76, 72),
+    ("E2", "MSMP-PDE", "round 1", None, 6.46, 45),
+    ("WE1", "MSMP-PDE", "round 2", None, 1.46, 49),
+    ("RP", "FNO2DP", "round 1", None, 1.72, 6),
+    ("MSWG3", "MSMP-PDE2D", "round 1 (incl. mid-training resume)",
+     None, 5.37, 84),
+]
+
+BEGIN = "<!-- master-table:begin -->"
+END = "<!-- master-table:end -->"
+
+
+def harvest(log_dir="experiments/log"):
+    rows, pending, unknown = [], [], []
+    for f in sorted(glob.glob(os.path.join(log_dir, "train_*.log"))):
+        base = os.path.basename(f)
+        meta = RUNS.get(base)
+        if meta is None:
+            # h2h / shim runs live in their own RESULTS section
+            if "h2h" not in base:
+                unknown.append(base)
+            continue
+        txt = open(f, errors="replace").read()
+        val = re.findall(r"Min Relative Val L2 Error: ([\d.]+) %", txt)
+        test = re.findall(r"Relative Test L2 Error: ([\d.]+) %", txt)
+        el = re.findall(r"Elapsed Time : ([\d.]+)", txt)
+        if val and test:
+            rows.append((*meta, float(val[-1]), float(test[-1]),
+                         float(el[-1]) / 60 if el else float("nan"), base))
+        else:
+            pending.append((*meta, base))
+    rows.extend((t, m, n, v, test, mins, "(RESULTS.md)")
+                for t, m, n, v, test, mins in STATIC_ROWS)
+    rows.sort(key=lambda r: (TASK_ORDER.index(r[0]), r[4]))
+    return rows, pending, unknown
+
+
+def render(rows, pending):
+    out = [BEGIN,
+           "",
+           "| task | model | val rel L2 | test rel L2 | wall-clock | note |",
+           "|---|---|---|---|---|---|"]
+    for task, model, note, val, test, mins, base in rows:
+        v = f"{val:.2f}%" if val is not None else "—"
+        out.append(f"| {task} | {model} | {v} | **{test:.2f}%** | "
+                   f"{mins:.0f} min | {note} |")
+    if pending:
+        out.append("")
+        out.append("In flight / not yet recorded: " + ", ".join(
+            f"{m} on {t}" for t, m, _, _ in pending))
+    out.append("")
+    out.append(END)
+    return "\n".join(out)
+
+
+def main():
+    rows, pending, unknown = harvest()
+    table = render(rows, pending)
+    if unknown:
+        print("WARNING: logs without a RUNS entry:", unknown, file=sys.stderr)
+    if "--update" in sys.argv:
+        text = open("RESULTS.md").read()
+        i, j = text.index(BEGIN), text.index(END) + len(END)
+        open("RESULTS.md", "w").write(text[:i] + table + text[j:])
+        print(f"RESULTS.md master table updated: {len(rows)} rows, "
+              f"{len(pending)} pending")
+    else:
+        print(table)
+
+
+if __name__ == "__main__":
+    main()
