@@ -23,7 +23,7 @@ import numpy as np
 import flax.linen as nn
 
 from msmp_pde_tpu.models.common import TorchDense
-from msmp_pde_tpu.ops.interp import interp1d
+from msmp_pde_tpu.ops.interp import interp_matrix
 
 
 class SpectralConv1d(nn.Module):
@@ -131,12 +131,14 @@ class FNO2d(nn.Module):
     def __call__(self, u, var_cols=None, x_coords=None):
         B, tw, d, nx = u.shape
         if self.unstructured:
-            # interpolate each channel onto a uniform grid before the core
+            # Interpolate each channel onto a uniform grid before the core.
+            # The grid is static for the whole run, so the resampling is a
+            # constant [nx, nx] linear operator — one MXU matmul instead of
+            # per-channel gathers (whose backward is a serial scatter-add
+            # on TPU); see ops/interp.py::interp_matrix.
             uniform = jnp.linspace(self.domain[0], self.domain[1], nx, u.dtype)
-            flat = u.reshape(B * tw * d, nx)
-            xs = jnp.broadcast_to(x_coords[None], (B * tw * d, nx))
-            u = interp1d(xs, flat, jnp.broadcast_to(uniform[None], (B * tw * d, nx)))
-            u = u.reshape(B, tw, d, nx)
+            w_in = interp_matrix(x_coords, uniform)
+            u = jnp.einsum("ij,btdj->btdi", w_in, u)
         x = u.reshape(B, tw * d, nx)
         x = jnp.transpose(x, (0, 2, 1))  # [B, nx, 2tw]
         if self.eq_var_names:
@@ -146,11 +148,9 @@ class FNO2d(nn.Module):
         out = _FNOCore(self.width, self.modes, 2 * self.tw)(x)  # [B, 2tw, nx]
         out = out.reshape(B, tw, d, nx)
         if self.unstructured:
-            uniform = jnp.linspace(self.domain[0], self.domain[1], nx, u.dtype)
-            flat = out.reshape(B * tw * d, nx)
-            us = jnp.broadcast_to(uniform[None], (B * tw * d, nx))
-            out = interp1d(us, flat, jnp.broadcast_to(x_coords[None], (B * tw * d, nx)))
-            out = out.reshape(B, tw, d, nx)
+            # uniform -> unstructured, the transpose resampling direction
+            w_out = interp_matrix(uniform, x_coords)
+            out = jnp.einsum("ij,btdj->btdi", w_out, out)
         return out
 
 

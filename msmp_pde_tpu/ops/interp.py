@@ -45,3 +45,37 @@ def interp1d(x, y, target, mask: bool = True):
 
     out = jax.vmap(one)(x, y, target)
     return out[0] if squeeze else out
+
+
+def interp_matrix(x, target, mask: bool = True):
+    """Dense linear-interpolation operator W with ``W @ y == interp1d(x, y,
+    target)`` for any values ``y`` sampled at locations ``x``.
+
+    TPU-first formulation of the unstructured-grid re-sampling used by the
+    FNO2dParamUn path (/root/reference/experiments/models_fno2D.py:299,332):
+    the RPU grid is one static LCG grid shared by the whole dataset
+    (generate_data.py:80-113), so the interpolation is a constant linear map.
+    Materializing it as a dense [nt, nx] matrix turns the per-step
+    gather (and its scatter-add transpose in the backward pass — a serial
+    op on TPU) into a single MXU matmul.
+
+    Args:
+        x: [nx] sorted source locations.
+        target: [nt] query locations.
+        mask: clamp queries outside [x[0], x[-1]] to the edge values
+            (matching ``interp1d(..., mask=True)``); otherwise extrapolate
+            linearly with the edge segment.
+    Returns:
+        W: [nt, nx] such that ``W @ y`` linearly interpolates y onto target.
+    """
+    nx = x.shape[-1]
+    idx = jnp.clip(jnp.searchsorted(x, target, side="right") - 1, 0, nx - 2)
+    x0 = x[idx]
+    x1 = x[idx + 1]
+    w = (target - x0) / (x1 - x0)
+    if mask:
+        w = jnp.clip(w, 0.0, 1.0)
+    dt = x.dtype
+    lo = jax.nn.one_hot(idx, nx, dtype=dt)
+    hi = jax.nn.one_hot(idx + 1, nx, dtype=dt)
+    return lo * (1.0 - w[:, None]).astype(dt) + hi * w[:, None].astype(dt)
