@@ -30,6 +30,10 @@ RUNS = {
     "train_E1_SaveMSMP.log": ("E1", "SaveMSMP-PDE", "stateful LEM across windows"),
     "train_E1_LEM.log": ("E1", "LEM", "pure-recurrent, no GNN"),
     "train_E1_LSTM.log": ("E1", "LSTM", "pure-recurrent, no GNN"),
+    "train_E1_Gated_s1.log": ("E1", "Gated", "seed 1 (noise estimate)"),
+    "train_E1_LSTMGated_s1.log": ("E1", "LSTMGated", "seed 1 (noise estimate)"),
+    "train_E1_MSMP_s1.log": ("E1", "MSMP-PDE", "seed 1 (noise estimate)"),
+    "train_E1_MPPDE_s1.log": ("E1", "MP-PDE", "seed 1 (noise estimate)"),
     "train_E1_BaseCNN.log": ("E1", "BaseCNN", ""),
     "train_E1_FNO.log": ("E1", "FNO", ""),
     "train_E1_VNO.log": ("E1", "VNO", "nonequispaced FNO"),
