@@ -20,7 +20,10 @@ import sys
 # log filename -> (task, model, note). Filenames encode task first; the
 # suffix names the model or the run variant.
 RUNS = {
-    "train_E1.log": ("E1", "MSMP-PDE", "round-1 headline"),
+    # NB: the round-1 E1/MSMP-PDE headline lives in STATIC_ROWS (its log was
+    # rotated out); don't also map "train_E1.log" here or a regenerated log
+    # under that name would duplicate the row — an unmapped log shows up in
+    # the "unknown" listing instead, which is the safe failure mode.
     "train_E1_pair.log": ("E1", "MSMP-PDE", "fused gated-pair kernel (production auto)"),
     "train_E1_MPPDE.log": ("E1", "MP-PDE", "plain-MP ablation baseline"),
     "train_E1_Gated.log": ("E1", "Gated", "gate, no temporal encoder"),

@@ -14,25 +14,42 @@ def _as_2d(x):
     return x.view(-1, 1) if x.dim() == 1 else x
 
 
-def _pairwise_ok(x, batch):
-    """[N, N] bool: same-batch, not self."""
+def _pairwise_ok(x, batch, loop):
+    """[N, N] bool: same-batch (and not self unless ``loop``)."""
     n = x.size(0)
     same = batch.view(-1, 1) == batch.view(1, -1)
+    if loop:
+        return same
     eye = torch.eye(n, dtype=torch.bool, device=x.device)
     return same & ~eye
 
 
-def radius_graph(x, r, batch=None, loop=False, max_num_neighbors=None,
+def _topk_edges(dist, cap):
+    """Per-row nearest <= cap finite-distance entries of an inf-masked
+    [N, N] matrix -> (src, tgt) with torch_cluster's edge convention.
+    Rows with fewer than ``cap`` valid entries (small graphs) contribute
+    only their valid edges — topk fill-ins at inf distance are dropped,
+    never cross-graph edges."""
+    n = dist.size(0)
+    vals, nbr = dist.topk(min(cap, n), dim=1, largest=False)
+    tgt = torch.arange(n, device=dist.device).view(-1, 1).expand_as(nbr)
+    keep = torch.isfinite(vals)
+    return nbr[keep], tgt[keep]
+
+
+def radius_graph(x, r, batch=None, loop=False, max_num_neighbors=32,
                  flow="source_to_target"):
     x = _as_2d(x)
     n = x.size(0)
     if batch is None:
         batch = torch.zeros(n, dtype=torch.long, device=x.device)
     dist = torch.cdist(x, x)
-    ok = _pairwise_ok(x, batch) if not loop else (
-        batch.view(-1, 1) == batch.view(1, -1))
-    adj = (dist <= r) & ok
-    tgt, src = adj.nonzero(as_tuple=True)  # adj[i, j]: j within r of i
+    ok = _pairwise_ok(x, batch, loop)
+    # torch_cluster caps at max_num_neighbors (default 32) per query node;
+    # it keeps an arbitrary in-radius subset — we keep the nearest, which
+    # is deterministic and coincides whenever the cap is not hit.
+    dist = dist.masked_fill(~ok | (dist > r), float("inf"))
+    src, tgt = _topk_edges(dist, max_num_neighbors)
     return torch.stack([src, tgt], dim=0)
 
 
@@ -42,10 +59,6 @@ def knn_graph(x, k, batch=None, loop=False, flow="source_to_target"):
     if batch is None:
         batch = torch.zeros(n, dtype=torch.long, device=x.device)
     dist = torch.cdist(x, x)
-    ok = _pairwise_ok(x, batch) if not loop else (
-        batch.view(-1, 1) == batch.view(1, -1))
-    dist = dist.masked_fill(~ok, float("inf"))
-    k_eff = min(k, n - 1)
-    _, nbr = dist.topk(k_eff, dim=1, largest=False)  # [N, k] neighbors of i
-    tgt = torch.arange(n, device=x.device).view(-1, 1).expand_as(nbr)
-    return torch.stack([nbr.reshape(-1), tgt.reshape(-1)], dim=0)
+    dist = dist.masked_fill(~_pairwise_ok(x, batch, loop), float("inf"))
+    src, tgt = _topk_edges(dist, k)
+    return torch.stack([src, tgt], dim=0)

@@ -136,7 +136,8 @@ class FNO2d(nn.Module):
             # constant [nx, nx] linear operator — one MXU matmul instead of
             # per-channel gathers (whose backward is a serial scatter-add
             # on TPU); see ops/interp.py::interp_matrix.
-            uniform = jnp.linspace(self.domain[0], self.domain[1], nx, u.dtype)
+            uniform = jnp.linspace(self.domain[0], self.domain[1], nx,
+                                   dtype=u.dtype)
             w_in = interp_matrix(x_coords, uniform)
             u = jnp.einsum("ij,btdj->btdi", w_in, u)
         x = u.reshape(B, tw * d, nx)

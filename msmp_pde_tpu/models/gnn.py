@@ -260,6 +260,19 @@ class MPSolver(nn.Module):
 
         ega = self._resolve_ega(window, variables, idx, mask)
         ungated = self.gate == "none"
+        # auto: the fused gated PAIR (gate+layer+combine in ONE kernel,
+        # ops/mp_pallas.py::fused_gated_pair) measured fastest for sigmoid-
+        # gated models (2.318 vs 2.420 ms/step single-kernel, RESULTS.md
+        # round-3 A/B). Static-shape decision — made once here, alongside
+        # _resolve_ega's single-layer decision, shared by every layer.
+        use_pair = False
+        if (not ungated and ega is not None and self.gate == "sigmoid"
+                and self.mp_impl in ("pallas_pair", "auto")):
+            from msmp_pde_tpu.ops.mp_pallas import pallas_feasible
+
+            use_pair = pallas_feasible(
+                window.shape[0], nx, idx.shape[1], self.hidden,
+                window.shape[-1], variables.shape[-1], pair=True)
         for i in range(self.layers):
             if self.layer_type == "gat":
                 layer = GATLayer(hidden=self.hidden, name=f"gnn_{i}")
@@ -281,24 +294,12 @@ class MPSolver(nn.Module):
                         hidden=self.hidden, final_act=False, residual=False,
                         name=f"gate_{i}",
                     )
-                    from msmp_pde_tpu.ops.mp_pallas import (
-                        fused_gated_pair, pallas_feasible,
-                    )
+                    if use_pair:
+                        from msmp_pde_tpu.ops.mp_pallas import (
+                            fused_gated_pair,
+                        )
 
-                    # auto: the fused PAIR measured fastest for sigmoid-
-                    # gated models (2.318 vs 2.420 ms/step single-kernel,
-                    # RESULTS.md round-3 A/B)
-                    pair_ok = (
-                        self.gate == "sigmoid" and ega is not None
-                        and self.mp_impl in ("pallas_pair", "auto")
-                        and pallas_feasible(
-                            window.shape[0], nx, idx.shape[1], self.hidden,
-                            window.shape[-1], variables.shape[-1], pair=True)
-                    )
-                    if pair_ok:
-                        # fused gated PAIR: gate+layer+combine in ONE kernel
-                        # (ops/mp_pallas.py::fused_gated_pair); identical
-                        # params/math to the two-kernel path.
+                        # identical params/math to the two-kernel path
                         ega_mats, interpret, mm_dtype = ega
                         Wg = gate_layer(h, window, px_n, variables, idx,
                                         mask, weights_only=True)

@@ -22,6 +22,7 @@ Cell equations and parameter layout: models/lem.py (Rusch et al. LEM).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -284,7 +285,12 @@ def lem_scan(gx, zx, y0, z0, wy, wzz, *, dt: float = 1.0,
     Padded rows have zero cotangents, so weight grads are unaffected.
     """
     T, N, H3 = gx.shape
-    tile = max(rows_fwd, rows_bwd)
+    # Both grids floor-divide the padded N by their own row tile, so the
+    # padded N must be a multiple of BOTH tiles (lcm) — padding only to the
+    # larger tile would silently drop row blocks in whichever pass uses the
+    # smaller one (e.g. rows_fwd=768/rows_bwd=512 -> rows 512.. never
+    # written in the backward).
+    tile = math.lcm(rows_fwd, rows_bwd)
     pad = (-N) % tile
     if pad:
         rp = [(0, 0), (0, pad), (0, 0)]

@@ -75,6 +75,13 @@ def shard_batch(mesh: Mesh, tree, axis: str = "dp"):
     return jax.tree.map(lambda a: _put(a, sh), tree)
 
 
+def shard_chunked_batch(mesh: Mesh, tree, axis: str = "dp"):
+    """Shard axis 1 (batch) across the mesh, leaving the leading chunk axis
+    whole — the [m, batch, ...] layout `lax.map` scans over."""
+    sh = NamedSharding(mesh, P(None, axis))
+    return jax.tree.map(lambda a: _put(a, sh), tree)
+
+
 def replicate(mesh: Mesh, tree):
     sh = NamedSharding(mesh, P())
     return jax.tree.map(lambda a: _put(a, sh), tree)

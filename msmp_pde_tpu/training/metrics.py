@@ -55,7 +55,7 @@ def _map_over_batches(one_fn, params, u_args, var_all, batch_size,
     the metrics would run replicated — correct but single-chip-speed — on
     a pod slice (VERDICT r2 weak #6).
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from msmp_pde_tpu.parallel.mesh import shard_batch, shard_chunked_batch
 
     n = int(u_args[0].shape[0])
     shapes = tuple(a.shape for a in u_args) + (tuple(sorted(var_all)),)
@@ -79,11 +79,7 @@ def _map_over_batches(one_fn, params, u_args, var_all, batch_size,
         u_r = tuple(reshape(a) for a in u_args)
         var_r = {k: reshape(v) for k, v in var_all.items()}
         if use_mesh:
-            # [m, batch_size, ...]: chunk axis stays whole (lax.map scans
-            # it), the batch axis shards over dp.
-            sh = NamedSharding(mesh, P(None, "dp"))
-            u_r = tuple(jax.device_put(a, sh) for a in u_r)
-            var_r = {k: jax.device_put(v, sh) for k, v in var_r.items()}
+            u_r, var_r = shard_chunked_batch(mesh, (u_r, var_r))
 
         def build_whole():
             def whole(params, u_r, var_r):
@@ -106,9 +102,7 @@ def _map_over_batches(one_fn, params, u_args, var_all, batch_size,
         us = tuple(jnp.take(a, jidx, axis=0) for a in u_args)
         vs = {k: jnp.take(v, jidx) for k, v in var_all.items()}
         if use_mesh and len(idx) % mesh.size == 0:
-            sh1 = NamedSharding(mesh, P("dp"))
-            us = tuple(jax.device_put(a, sh1) for a in us)
-            vs = {k: jax.device_put(v, sh1) for k, v in vs.items()}
+            us, vs = shard_batch(mesh, (us, vs))
         outs.append(one_jit(params, us, vs))
     # stack leading axis like lax.map output
     return jax.tree.map(lambda *x: jnp.stack(x), *outs)
@@ -262,12 +256,9 @@ def rollout_store(trainer: Trainer, params, u_all, var_all, batch_size: int,
         u_traj = jnp.take(u_all, jidx, axis=0)
         variables = {k: jnp.take(v, jidx) for k, v in var_all.items()}
         if use_mesh and len(idx) % mesh.size == 0:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from msmp_pde_tpu.parallel.mesh import shard_batch
 
-            sh1 = NamedSharding(mesh, P("dp"))
-            u_traj = jax.device_put(u_traj, sh1)
-            variables = {k: jax.device_put(v, sh1)
-                         for k, v in variables.items()}
+            u_traj, variables = shard_batch(mesh, (u_traj, variables))
         p, t = one_jit(params, u_traj, variables)
         ps.append(np.asarray(p))
         ts.append(np.asarray(t))

@@ -47,6 +47,43 @@ def test_forward_parity_with_state():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("rows_fwd,rows_bwd", [(24, 16), (16, 24)])
+def test_mismatched_row_tiles(rows_fwd, rows_bwd):
+    """lem_scan must pad rows to a multiple of BOTH grid tiles: with
+    rows_fwd != rows_bwd and N between them (N=20), padding only to the
+    larger tile makes the smaller-tile grid floor-divide to 1 block and
+    silently skip real rows (garbage outputs/gradients, no error)."""
+    from msmp_pde_tpu.ops import lem_pallas
+
+    T, N, H = 4, 20, 8
+    rng = np.random.default_rng(11)
+    arrs = [rng.normal(size=s).astype(np.float32) for s in
+            [(T, N, 3 * H), (T, N, H), (N, H), (N, H), (H, 3 * H), (H, H)]]
+    gx, zx, y0, z0, wy, wzz = map(jnp.asarray, arrs)
+    r1 = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+    r2 = jnp.asarray(rng.normal(size=(N, H)).astype(np.float32))
+
+    def loss(gx, zx, y0, z0, wy, wzz, **tiles):
+        yT, zT = lem_pallas.lem_scan(gx, zx, y0, z0, wy, wzz, dt=0.1,
+                                     interpret=True, **tiles)
+        return jnp.sum(yT * r1) + jnp.sum(zT * r2), (yT, zT)
+
+    args = (gx, zx, y0, z0, wy, wzz)
+    (_, out_ref), g_ref = jax.value_and_grad(
+        loss, argnums=tuple(range(6)), has_aux=True)(
+            *args, rows_fwd=16, rows_bwd=16)
+    (_, out), g = jax.value_and_grad(
+        loss, argnums=tuple(range(6)), has_aux=True)(
+            *args, rows_fwd=rows_fwd, rows_bwd=rows_bwd)
+
+    for a, b in zip(out_ref, out):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(g_ref, g):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=1e-5)
+
+
 def test_gradient_parity():
     """BPTT backward: gradients w.r.t. params, inputs and the initial state
     must match the XLA autodiff."""
