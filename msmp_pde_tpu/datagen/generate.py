@@ -564,6 +564,9 @@ def generate_we(args, boundary_condition: str, tend: float, wave_speed: float):
 # ------------------------------------------------------------------ main
 def main(args):
     _setup_jax(args.platform, args.dtype)
+    from msmp_pde_tpu.parallel.mesh import wait_for_backend
+
+    wait_for_backend()  # probe/wait for the accelerator before any work
     _check_directory()
     e = args.experiment
     if e == "E1":

@@ -50,6 +50,44 @@ def init_distributed() -> bool:
     return True
 
 
+def wait_for_backend(max_wait_s: Optional[float] = None,
+                     interval_s: float = 30.0, log=print):
+    """Probe ``jax.devices()``, retrying while the backend is unavailable.
+
+    The first device op in a training run otherwise happens only AFTER the
+    multi-minute dataset load (setup_experiment), so a dead accelerator
+    tunnel wastes a full load per outer-queue retry — and a queued job
+    restarting every ~30 min can miss the chip by up to a load's length.
+    Probing here fails fast on a healthy-vs-dead decision and starts the
+    run within ``interval_s`` of the chip returning.
+
+    jax caches backend-init FAILURES (xla_bridge._backend_errors), so each
+    retry must clear the backend state before probing again. Wait budget:
+    ``max_wait_s`` arg, else env MSMP_BACKEND_WAIT_S, else 1800 s; re-raises
+    the last init error once the budget is exhausted.
+    """
+    import os
+    import time
+
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("MSMP_BACKEND_WAIT_S", "1800"))
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if time.monotonic() >= deadline:
+                raise
+            log(f"backend unavailable ({e}); retrying in {interval_s:.0f}s")
+            try:
+                from jax.extend.backend import clear_backends
+
+                clear_backends()
+            except Exception:
+                pass
+        time.sleep(interval_s)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)

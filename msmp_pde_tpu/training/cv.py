@@ -32,6 +32,11 @@ def main(args):
     from msmp_pde_tpu.training.train import fit
 
     init_distributed()  # multi-host DCN hook; no-op single-host
+    # probe/wait for the backend before the multi-minute dataset load
+    from msmp_pde_tpu.parallel.mesh import wait_for_backend
+
+    wait_for_backend()
+    print(f"Backend: {jax.default_backend()}, devices: {len(jax.devices())}")
     os.makedirs(args.cv_folder, exist_ok=True)
     exp = setup_experiment(args)
 

@@ -144,6 +144,11 @@ def main(args):
     from msmp_pde_tpu.training.setup import data_family, setup_experiment
     from msmp_pde_tpu.utils.checkpoint import restore_checkpoint
 
+    # probe/wait for the backend before the multi-minute dataset load
+    from msmp_pde_tpu.parallel.mesh import wait_for_backend
+
+    wait_for_backend()
+    print(f"Backend: {jax.default_backend()}, devices: {len(jax.devices())}")
     exp = setup_experiment(args, modes=("valid", "test"))
     trainer = exp.trainer
     t_res = exp.datasets["test"].nt

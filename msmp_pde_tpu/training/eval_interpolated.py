@@ -34,6 +34,11 @@ def main(args):
     # uniform-grid (interpolated) experiment setup; RPU unstructured flag off
     # because the _I datasets live on a uniform grid.
     args_i = copy.deepcopy(args)
+    # probe/wait for the backend before the multi-minute dataset load
+    from msmp_pde_tpu.parallel.mesh import wait_for_backend
+
+    wait_for_backend()
+    print(f"Backend: {jax.default_backend()}, devices: {len(jax.devices())}")
     exp = setup_experiment(args_i, modes=("test",), data_dir="data")
     # swap the datasets for the interpolated files
     pde_uniform = copy.deepcopy(exp.pde)

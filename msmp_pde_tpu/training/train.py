@@ -164,6 +164,13 @@ def main(args):
 
     init_distributed()  # multi-host DCN hook; no-op single-host
 
+    # Probe (and briefly wait for) the backend BEFORE the multi-minute
+    # dataset load/downprojection; see wait_for_backend's docstring.
+    from msmp_pde_tpu.parallel.mesh import wait_for_backend
+
+    wait_for_backend()
+    print(f"Backend: {jax.default_backend()}, devices: {len(jax.devices())}")
+
     os.makedirs("models", exist_ok=True)
     os.makedirs("experiments/log", exist_ok=True)
 

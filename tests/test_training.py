@@ -305,3 +305,39 @@ class TestMilestonesFlag:
         lng = lr_at_epoch([1, 12, 20, 26], 15)
         assert np.isclose(ref, 1e-4 * 0.4 ** 4, rtol=0.2), ref
         assert np.isclose(lng, 1e-4 * 0.4 ** 2, rtol=0.2), lng
+
+
+def test_wait_for_backend(monkeypatch):
+    """Healthy backend returns immediately; a dead backend is re-probed
+    (with the cached-failure state cleared) until it recovers or the wait
+    budget runs out, then the init error propagates (the outer run-queue's
+    retry signature)."""
+    from msmp_pde_tpu.parallel import mesh
+
+    # healthy: no sleep, devices returned
+    devs = mesh.wait_for_backend(max_wait_s=0.0)
+    assert len(devs) >= 1
+
+    # dead twice, then recovers
+    calls = {"n": 0}
+    real = mesh.jax.devices
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise RuntimeError("Unable to initialize backend 'axon'")
+        return real()
+
+    monkeypatch.setattr(mesh.jax, "devices", flaky)
+    devs = mesh.wait_for_backend(max_wait_s=5.0, interval_s=0.01,
+                                 log=lambda *_: None)
+    assert len(devs) >= 1 and calls["n"] == 3
+
+    # budget exhausted: the error propagates
+    monkeypatch.setattr(
+        mesh.jax, "devices",
+        lambda: (_ for _ in ()).throw(RuntimeError("Unable to initialize")))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        mesh.wait_for_backend(max_wait_s=0.05, interval_s=0.01,
+                              log=lambda *_: None)
