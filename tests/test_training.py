@@ -318,7 +318,12 @@ def test_wait_for_backend(monkeypatch):
     devs = mesh.wait_for_backend(max_wait_s=0.0)
     assert len(devs) >= 1
 
-    # dead twice, then recovers
+    # dead twice, then recovers. Stub the failure-cache clearing: the real
+    # jax.extend.backend.clear_backends() tears down the suite's live CPU
+    # backends (slow on a loaded host, and poisons other tests' arrays).
+    import jax.extend.backend as jeb
+
+    monkeypatch.setattr(jeb, "clear_backends", lambda: None)
     calls = {"n": 0}
     real = mesh.jax.devices
 
@@ -329,15 +334,16 @@ def test_wait_for_backend(monkeypatch):
         return real()
 
     monkeypatch.setattr(mesh.jax, "devices", flaky)
-    devs = mesh.wait_for_backend(max_wait_s=5.0, interval_s=0.01,
+    devs = mesh.wait_for_backend(max_wait_s=60.0, interval_s=0.01,
                                  log=lambda *_: None)
     assert len(devs) >= 1 and calls["n"] == 3
 
-    # budget exhausted: the error propagates
+    # budget exhausted (0 s): the very first failure propagates, and the
+    # backend-clear path is never entered
     monkeypatch.setattr(
         mesh.jax, "devices",
         lambda: (_ for _ in ()).throw(RuntimeError("Unable to initialize")))
     import pytest as _pytest
     with _pytest.raises(RuntimeError):
-        mesh.wait_for_backend(max_wait_s=0.05, interval_s=0.01,
+        mesh.wait_for_backend(max_wait_s=0.0, interval_s=0.01,
                               log=lambda *_: None)
