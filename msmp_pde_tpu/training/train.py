@@ -34,6 +34,48 @@ def device_arrays(ds):
     return u, ub, var
 
 
+def _stall_recovery(args, save_path: str):
+    """Watchdog action: re-exec this CLI, resuming from the last best-val
+    checkpoint when one exists (utils/watchdog.py has the failure story).
+    Module re-derived from __main__.__spec__ so the cv CLI (which shares
+    fit()) restarts as itself; --resume injected only for parsers that
+    have the flag."""
+    import __main__
+
+    spec = getattr(__main__, "__spec__", None)
+    head = ["-m", spec.name] if spec is not None else [sys.argv[0]]
+
+    def action():
+        argv = _recovery_argv(
+            sys.argv[1:],
+            resume=(save_path if hasattr(args, "resume")
+                    and os.path.isdir(save_path) else None),
+        )
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os.execv(sys.executable, [sys.executable] + head + argv)
+
+    return action
+
+
+def _recovery_argv(argv_in, resume=None):
+    """Original CLI args with any --resume stripped; re-append the new one."""
+    argv, skip = [], False
+    for tok in argv_in:
+        if skip:
+            skip = False
+            continue
+        if tok == "--resume":
+            skip = True
+            continue
+        if tok.startswith("--resume="):
+            continue
+        argv.append(tok)
+    if resume is not None:
+        argv += ["--resume", resume]
+    return argv
+
+
 def fit(args, exp, data, save_path: str):
     """The epoch loop; ``data`` maps mode -> (u_super, u_base, variables)."""
     import jax
@@ -43,6 +85,7 @@ def fit(args, exp, data, save_path: str):
     from msmp_pde_tpu.training import metrics
     from msmp_pde_tpu.training.loop import train_epoch
     from msmp_pde_tpu.utils.checkpoint import save_checkpoint
+    from msmp_pde_tpu.utils.watchdog import Watchdog
 
     trainer = exp.trainer
     t_res = exp.t_res
@@ -98,6 +141,18 @@ def fit(args, exp, data, save_path: str):
         print(f"Resumed from {args.resume} at epoch {start_epoch}")
     rng = np.random.default_rng(args.seed)
 
+    # Stall watchdog (utils/watchdog.py): beats on every loss print and
+    # metric-program return; a hung device RPC re-execs with --resume
+    # instead of dying to the outer queue's timeout. MSMP_WATCHDOG_S=0
+    # disables; the 1800 s default clears first-epoch tunnel compiles
+    # (<= ~7 min) by a wide margin.
+    wd = Watchdog(float(os.environ.get("MSMP_WATCHDOG_S", "1800")),
+                  _stall_recovery(args, save_path)).start()
+
+    def log_beat(*a, **k):
+        wd.beat()
+        print(*a, **k)
+
     min_val_loss = 1e30
     test_loss = 1e30
     results = {}
@@ -107,25 +162,31 @@ def fit(args, exp, data, save_path: str):
             trainer, tx, params, opt_state, u_train, var_train, epoch,
             args.batch_size, t_res, args.unrolling, rng,
             print_interval=args.print_interval,
+            log=log_beat,
             profile_dir=(args.profile if epoch == 0 else None),
         )
+        wd.beat()
         print("Evaluation on validation dataset:")
         metrics.test_timestep_losses(
             trainer, params, u_valid, var_valid, args.batch_size, t_res
         )
+        wd.beat()
         val_loss, _ = metrics.test_unrolled_losses(
             trainer, params, u_valid, ub_valid, var_valid, args.batch_size,
             args.nr_gt_steps, t_res, nx_base,
         )
+        wd.beat()
         if val_loss < min_val_loss:
             print("Evaluation on test dataset:")
             metrics.test_timestep_losses(
                 trainer, params, u_test, var_test, args.batch_size, t_res
             )
+            wd.beat()
             test_loss, _ = metrics.test_unrolled_losses(
                 trainer, params, u_test, ub_test, var_test, args.batch_size,
                 args.nr_gt_steps, t_res, nx_base,
             )
+            wd.beat()
             print("**Dimensionless L2 errors**")
             print("*Valid*")
             results["valid_L2"], results["valid_rel_L2"] = metrics.compute_l2_norms(
@@ -140,7 +201,9 @@ def fit(args, exp, data, save_path: str):
             save_checkpoint(save_path, params, opt_state, epoch)
             print(f"Saved model at {save_path}\n")
             min_val_loss = val_loss
+        wd.beat()
 
+    wd.stop()
     print(f"Min Val loss: {min_val_loss}")
     print(f"Test loss: {test_loss}")
     print("**Dimensionless L2 errors**")

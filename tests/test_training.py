@@ -347,3 +347,34 @@ def test_wait_for_backend(monkeypatch):
     with _pytest.raises(RuntimeError):
         mesh.wait_for_backend(max_wait_s=0.0, interval_s=0.01,
                               log=lambda *_: None)
+
+
+def test_watchdog_and_recovery_argv():
+    """Watchdog fires its action once after a stall, never while beats
+    arrive, and not at all when disabled; _recovery_argv strips any prior
+    --resume before appending the new checkpoint."""
+    import time as _time
+
+    from msmp_pde_tpu.training.train import _recovery_argv
+    from msmp_pde_tpu.utils.watchdog import Watchdog
+
+    fired = []
+    wd = Watchdog(0.2, lambda: fired.append(1), log=lambda *_: None).start()
+    for _ in range(8):  # beats keep it alive well past stall_s
+        wd.beat()
+        _time.sleep(0.06)
+    assert not fired
+    _time.sleep(0.6)  # now stall
+    assert fired == [1]
+    wd.stop()
+
+    disabled = Watchdog(0.0, lambda: fired.append(2)).start()
+    assert disabled._thread is None
+    _time.sleep(0.1)
+    assert fired == [1]
+
+    argv = ["--experiment=E1", "--resume", "models/old", "--batch_size=16",
+            "--resume=models/older"]
+    assert _recovery_argv(argv, resume="models/new") == [
+        "--experiment=E1", "--batch_size=16", "--resume", "models/new"]
+    assert _recovery_argv(argv) == ["--experiment=E1", "--batch_size=16"]
