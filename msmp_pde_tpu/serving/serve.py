@@ -1,0 +1,205 @@
+"""HTTP rollout server.
+
+    python -m msmp_pde_tpu.serving.serve --experiment=E1 --model=MSMP-PDE \
+        --checkpoint=models/<run>/best --port=8476
+
+Protocol (stdlib only, npz over HTTP — no serialization deps):
+
+* ``GET /healthz`` -> JSON {status, backend, experiment, model, buckets}.
+* ``POST /v1/rollout?n_windows=8[&format=trajectory]`` with an ``.npz``
+  body containing ``window`` [B, nx, d*tw] float32 (component-major model
+  windows, data/graph.py:187-199), optional ``steps`` [B] int32 (label-
+  window start indices; default time_window) and one optional float32 [B]
+  array per equation variable (e.g. ``alpha``). Response: ``.npz`` with
+  ``preds`` [B, n_windows, nx, d*tw], or ``trajectory`` [B, n_windows*tw,
+  d, nx] when ``format=trajectory``.
+
+Device work is serialized through a lock (one accelerator); HTTP I/O
+threads overlap with it, so request decode/encode hides behind device time
+under load. The engine pads each batch to a compiled bucket — steady-state
+requests never retrace.
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+
+def make_handler(engine, meta):
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet; CLI prints its own line
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path != "/healthz":
+                return self._json(404, {"error": "not found"})
+            self._json(200, {"status": "ok", **meta})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/v1/rollout":
+                return self._json(404, {"error": "not found"})
+            try:
+                q = parse_qs(url.query)
+                n_windows = int(q.get("n_windows", ["1"])[0])
+                as_traj = q.get("format", [""])[0] == "trajectory"
+                length = int(self.headers.get("Content-Length", "0"))
+                with np.load(io.BytesIO(self.rfile.read(length))) as z:
+                    window = z["window"]
+                    steps = z["steps"] if "steps" in z.files else None
+                    variables = {k: z[k] for k in z.files
+                                 if k not in ("window", "steps")}
+                start = steps if steps is not None else None
+                with lock:
+                    if as_traj:
+                        out = engine.trajectory(
+                            window, variables=variables or None,
+                            start_step=start, n_windows=n_windows)
+                        key = "trajectory"
+                    else:
+                        out = engine.rollout(
+                            window, variables=variables or None,
+                            start_step=start, n_windows=n_windows)
+                        key = "preds"
+            except (KeyError, ValueError, OSError) as e:
+                return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            buf = io.BytesIO()
+            np.savez(buf, **{key: out})
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-npz")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def request_rollout(host: str, port: int, window, *, steps=None,
+                    variables=None, n_windows: int = 1,
+                    as_trajectory: bool = False) -> np.ndarray:
+    """Client helper (and the test harness): one POST /v1/rollout."""
+    import http.client
+
+    arrays = {"window": np.asarray(window, np.float32)}
+    if steps is not None:
+        arrays["steps"] = np.asarray(steps, np.int32)
+    for k, v in (variables or {}).items():
+        arrays[k] = np.asarray(v, np.float32)
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    fmt = "&format=trajectory" if as_trajectory else ""
+    conn = http.client.HTTPConnection(host, port)
+    try:
+        conn.request("POST", f"/v1/rollout?n_windows={n_windows}{fmt}",
+                     body=buf.getvalue(),
+                     headers={"Content-Type": "application/x-npz"})
+        resp = conn.getresponse()
+        payload = resp.read()
+        if resp.status != 200:
+            raise RuntimeError(f"server {resp.status}: {payload[:200]!r}")
+    finally:
+        conn.close()
+    with np.load(io.BytesIO(payload)) as z:
+        return z["trajectory" if as_trajectory else "preds"]
+
+
+def main(args):
+    import jax
+
+    if args.platform != "default":
+        jax.config.update("jax_platforms", args.platform)
+    from msmp_pde_tpu.parallel.mesh import wait_for_backend
+    from msmp_pde_tpu.serving.engine import (
+        RolloutEngine,
+        build_serving_trainer,
+    )
+    from msmp_pde_tpu.training.setup import data_family, resolve_data_path
+    from msmp_pde_tpu.utils.checkpoint import restore_checkpoint
+
+    wait_for_backend()
+    data_path = None
+    if args.data_dir:
+        fam = data_family(args.experiment)
+        p = resolve_data_path(args.data_dir, fam, args.experiment,
+                              args.data_suffix, "test")
+        import os
+
+        data_path = p if os.path.exists(p) else None
+    trainer = build_serving_trainer(
+        args.experiment, args.model,
+        base_resolution=tuple(args.base_resolution),
+        super_resolution=tuple(args.super_resolution),
+        neighbors=args.neighbors, time_window=args.time_window,
+        n_graph_layers=args.n_graph_layers, data_path=data_path,
+        mp_precision=args.mp_precision,
+    )
+    params = trainer.init_params(jax.random.PRNGKey(0))
+    params = restore_checkpoint(args.checkpoint, {"params": params})["params"]
+    buckets = tuple(args.batch_buckets)
+    engine = RolloutEngine(trainer, params, batch_buckets=buckets)
+    if args.warmup_windows:
+        print(f"warming up buckets {buckets} at {args.warmup_windows} "
+              "windows...")
+        engine.warmup(args.warmup_windows)
+    meta = {
+        "backend": jax.default_backend(),
+        "experiment": args.experiment,
+        "model": args.model,
+        "buckets": list(buckets),
+    }
+    srv = ThreadingHTTPServer((args.host, args.port),
+                              make_handler(engine, meta))
+    print(f"serving {args.model} on {args.experiment} at "
+          f"http://{args.host}:{args.port} (backend {meta['backend']})")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+
+
+def build_parser():
+    import argparse
+
+    p = argparse.ArgumentParser(description="MSMP-PDE rollout server")
+    p.add_argument("--experiment", type=str, required=True)
+    p.add_argument("--model", type=str, default="MSMP-PDE")
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8476)
+    p.add_argument("--base_resolution", type=int, nargs=2, default=[250, 100])
+    p.add_argument("--super_resolution", type=int, nargs=2, default=[250, 200])
+    p.add_argument("--neighbors", type=int, default=3)
+    p.add_argument("--time_window", type=int, default=25)
+    p.add_argument("--n_graph_layers", type=int, default=6)
+    p.add_argument("--batch_buckets", type=int, nargs="+", default=[1, 4, 16])
+    p.add_argument("--warmup_windows", type=int, default=8,
+                   help="pre-compile every bucket at this horizon (0 = lazy)")
+    p.add_argument("--data_dir", type=str, default="data",
+                   help="grid metadata source (attrs-only read); '' to "
+                        "reconstruct the uniform grid from the PDE")
+    p.add_argument("--data_suffix", type=str, default="")
+    p.add_argument("--mp_precision", type=str, default="float32")
+    p.add_argument("--platform", type=str, default="default")
+    return p
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

@@ -1,0 +1,199 @@
+"""Serving subsystem: engine vs direct forward loop, bucket padding and
+chunking, trajectory layout, jax.export roundtrip, HTTP server roundtrip,
+and the dataset-light trainer construction."""
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msmp_pde_tpu.data.graph import advance_windows
+from msmp_pde_tpu.serving.engine import (
+    RolloutEngine,
+    build_serving_trainer,
+    grid_from_h5,
+    uniform_grid,
+    windows_to_trajectory,
+)
+
+from test_training import small_trainer
+
+
+def _engine(buckets=(4,), model="MP-PDE"):
+    trainer = small_trainer(model=model)
+    params = trainer.init_params(jax.random.PRNGKey(1), batch_size=2)
+    return RolloutEngine(trainer, params, batch_buckets=buckets)
+
+
+def _manual_rollout(engine, window, start, n_windows):
+    """Reference loop: per-sample forward chain through advance_windows."""
+    trainer, params = engine.trainer, engine.params
+    tw, d = trainer.tw, trainer.d
+    nt = int(trainer.spec.t_grid.shape[0])
+    w = jnp.asarray(window, jnp.float32)
+    steps = jnp.full((w.shape[0],), start, jnp.int32)
+    preds, state = [], None
+    for i in range(n_windows):
+        s = jnp.clip(steps + i * tw, tw, nt - tw)
+        pred, state = trainer.forward(params, w, s, {}, lem_state=state)
+        preds.append(pred)
+        w = advance_windows(w, pred, d, tw)
+    return np.stack([np.asarray(p) for p in preds], axis=1)
+
+
+def test_rollout_matches_direct_loop():
+    eng = _engine()
+    rng = np.random.default_rng(0)
+    window = rng.normal(size=(4, 24, 20)).astype(np.float32)
+    got = eng.rollout(window, start_step=20, n_windows=3)
+    want = _manual_rollout(eng, window, 20, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_bucket_padding_is_invisible():
+    """B=3 through a 4-bucket must equal the unpadded computation — pad
+    rows must not leak into real rows."""
+    eng = _engine(buckets=(4,))
+    rng = np.random.default_rng(1)
+    window = rng.normal(size=(3, 24, 20)).astype(np.float32)
+    got = eng.rollout(window, start_step=20, n_windows=2)
+    assert got.shape[0] == 3
+    want = _manual_rollout(eng, window, 20, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_oversize_request_chunks_over_largest_bucket():
+    eng = _engine(buckets=(2,))
+    rng = np.random.default_rng(2)
+    window = rng.normal(size=(5, 24, 20)).astype(np.float32)
+    got = eng.rollout(window, start_step=20, n_windows=2)
+    want = _manual_rollout(eng, window, 20, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # exactly one compiled program: every chunk (4+1 -> 2+2+1pad) reuses
+    # the same 2-bucket jit entry
+    assert len(eng._programs) == 1
+
+
+def test_time_feature_clamps_beyond_horizon():
+    """Past the data horizon the time feature freezes at nt - tw (the eval
+    long-rollout convention) instead of indexing out of bounds."""
+    eng = _engine()
+    rng = np.random.default_rng(3)
+    window = rng.normal(size=(2, 24, 20)).astype(np.float32)
+    n_windows = 6  # start=80, tw=20, nt=100 -> steps run past nt
+    got = eng.rollout(window, start_step=80, n_windows=n_windows)
+    want = _manual_rollout(eng, window, 80, n_windows)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_trajectory_layout():
+    eng = _engine()
+    rng = np.random.default_rng(4)
+    window = rng.normal(size=(2, 24, 20)).astype(np.float32)
+    preds = eng.rollout(window, start_step=20, n_windows=3)
+    traj = windows_to_trajectory(preds, d=1, tw=20)
+    assert traj.shape == (2, 60, 1, 24)
+    # window s, time offset k of sample b lands at traj[b, s*tw + k]
+    np.testing.assert_allclose(traj[1, 2 * 20 + 7, 0], preds[1, 2, :, 7])
+
+
+def test_export_roundtrip_matches_engine(tmp_path):
+    eng = _engine()
+    from msmp_pde_tpu.serving.export import export_rollout, load_exported
+
+    path = str(tmp_path / "rollout.jaxexport")
+    export_rollout(eng, batch=4, n_windows=2, path=path)
+    exported = load_exported(path)
+    rng = np.random.default_rng(5)
+    window = rng.normal(size=(4, 24, 20)).astype(np.float32)
+    steps = np.full((4,), 20, np.int32)
+    got = exported(window, steps, {})
+    want = eng.rollout(window, start_step=20, n_windows=2)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_http_server_roundtrip():
+    from http.server import ThreadingHTTPServer
+
+    from msmp_pde_tpu.serving.serve import make_handler, request_rollout
+
+    eng = _engine()
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(eng, {"experiment": "unit"})
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        rng = np.random.default_rng(6)
+        window = rng.normal(size=(3, 24, 20)).astype(np.float32)
+        steps = np.full((3,), 20, np.int32)
+        got = request_rollout("127.0.0.1", port, window, steps=steps,
+                              n_windows=2)
+        want = eng.rollout(window, start_step=20, n_windows=2)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+        traj = request_rollout("127.0.0.1", port, window, steps=steps,
+                               n_windows=2, as_trajectory=True)
+        np.testing.assert_allclose(
+            traj, windows_to_trajectory(want, 1, 20), rtol=1e-6, atol=1e-6
+        )
+        # malformed body -> 400, not a hung server
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port)
+        conn.request("POST", "/v1/rollout", body=b"not-an-npz")
+        assert conn.getresponse().status == 400
+        conn.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_uniform_grid_matches_pde_conventions():
+    from msmp_pde_tpu.training.setup import pde_for_experiment
+
+    pde = pde_for_experiment("E1", (250, 100))
+    g = uniform_grid(pde, (250, 100))
+    assert g.nt == 250 and g.n_components == 1
+    np.testing.assert_allclose(g.x, np.linspace(0, 16.0, 100), rtol=1e-6)
+    np.testing.assert_allclose(g.dt, 4.0 / 249)
+    with pytest.raises(ValueError):
+        uniform_grid(pde_for_experiment("WE1", (250, 40)), (250, 40))
+    with pytest.raises(ValueError):
+        uniform_grid(pde_for_experiment("RPU", (250, 100)), (250, 100))
+
+
+def test_grid_from_h5_and_serving_trainer(tmp_path):
+    """A minimal file with the datagen writer's attrs schema round-trips
+    through grid_from_h5 + build_serving_trainer."""
+    import h5py
+
+    from msmp_pde_tpu.training.setup import pde_for_experiment
+
+    path = str(tmp_path / "CE_E1.h5")
+    x_base = np.linspace(0, 16.0, 40)
+    with h5py.File(path, "w") as f:
+        g = f.create_group("test")
+        for key, nx in (("pde_250-40", 40), ("pde_250-80", 80)):
+            ds = g.create_dataset(key, shape=(1, 250, nx), dtype="f4")
+            ds.attrs["nt"] = 250
+            ds.attrs["dt"] = 4.0 / 249
+            ds.attrs["dx"] = 16.0 / nx
+            ds.attrs["tmin"] = 0.0
+            ds.attrs["tmax"] = 4.0
+            ds.attrs["x"] = np.linspace(0, 16.0, nx)
+    pde = pde_for_experiment("E1", (250, 40))
+    grid = grid_from_h5(path, pde, "test", (250, 40), (250, 80))
+    np.testing.assert_allclose(grid.x, x_base, rtol=1e-6)
+    assert grid.nt == 250 and grid.n_components == 1
+
+    trainer = build_serving_trainer(
+        "E1", "MSMP-PDE", base_resolution=(250, 40),
+        super_resolution=(250, 80), data_path=path, n_graph_layers=2,
+    )
+    params = trainer.init_params(jax.random.PRNGKey(0), batch_size=2)
+    eng = RolloutEngine(trainer, params, batch_buckets=(2,))
+    out = eng.rollout(np.zeros((2, 40, 25), np.float32), n_windows=2)
+    assert out.shape == (2, 2, 40, 25)
+    assert np.isfinite(out).all()
