@@ -46,3 +46,15 @@ run() {
   done
   return 1
 }
+
+# Re-run a stage only when its log lacks the train CLI's completion footer
+# ("Elapsed Time :", printed after the final test metrics). Used by the
+# catch-all queues that sweep up stages lost to backend outages.
+run_if_incomplete() {
+  local log=$1
+  if [ -f "$log" ] && grep -q "Elapsed Time" "$log"; then
+    echo "=== skip (complete): $log ==="
+    return 0
+  fi
+  run "$@"
+}
