@@ -140,14 +140,25 @@ class RolloutEngine:
     returns the model's autoregressive predictions [B, n_windows, nx, d*tw].
     B is padded up to the nearest bucket so each (bucket, horizon) pair
     compiles exactly once; the pad rows are discarded before returning.
+
+    ``mesh``: optional 1-D 'dp' ``jax.sharding.Mesh`` — requests whose
+    bucket divides the mesh are batch-sharded across the serving slice
+    (params replicated, GSPMD keeps the per-sample rollout local to its
+    device), so throughput scales with chips like the training pass.
     """
 
     def __init__(self, trainer, params,
-                 batch_buckets: Sequence[int] = (1, 4, 16)):
+                 batch_buckets: Sequence[int] = (1, 4, 16), mesh=None):
         import jax
 
         self.trainer = trainer
-        self.params = jax.device_put(params)
+        self.mesh = mesh
+        if mesh is not None:
+            from msmp_pde_tpu.parallel.mesh import replicate
+
+            self.params = replicate(mesh, params)
+        else:
+            self.params = jax.device_put(params)
         self.buckets = tuple(sorted(set(int(b) for b in batch_buckets)))
         if not self.buckets:
             raise ValueError("need at least one batch bucket")
@@ -253,8 +264,16 @@ class RolloutEngine:
             }
         prog = self._program(bucket, int(n_windows),
                              tuple(sorted(variables)))
-        preds = prog(self.params, jnp.asarray(window), jnp.asarray(steps),
-                     {k: jnp.asarray(v) for k, v in variables.items()})
+        inputs = (jnp.asarray(window), jnp.asarray(steps),
+                  {k: jnp.asarray(v) for k, v in variables.items()})
+        if (self.mesh is not None and getattr(self.mesh, "size", 1) > 1
+                and bucket % self.mesh.size == 0):
+            # dp-shard the request across the serving slice; GSPMD keeps
+            # every per-sample op local, so the rollout scales with devices
+            from msmp_pde_tpu.parallel.mesh import shard_batch
+
+            inputs = shard_batch(self.mesh, inputs)
+        preds = prog(self.params, *inputs)
         return np.asarray(preds)[:B]
 
     def trajectory(self, window, **kw) -> np.ndarray:

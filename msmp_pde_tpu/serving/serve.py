@@ -152,7 +152,14 @@ def main(args):
     params = trainer.init_params(jax.random.PRNGKey(0))
     params = restore_checkpoint(args.checkpoint, {"params": params})["params"]
     buckets = tuple(args.batch_buckets)
-    engine = RolloutEngine(trainer, params, batch_buckets=buckets)
+    mesh = None
+    n_dp = args.dp or len(jax.devices())
+    if n_dp > 1:
+        from msmp_pde_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_dp)
+        print(f"serving data parallelism over {n_dp} devices")
+    engine = RolloutEngine(trainer, params, batch_buckets=buckets, mesh=mesh)
     if args.warmup_windows:
         print(f"warming up buckets {buckets} at {args.warmup_windows} "
               "windows...")
@@ -197,6 +204,8 @@ def build_parser():
                         "reconstruct the uniform grid from the PDE")
     p.add_argument("--data_suffix", type=str, default="")
     p.add_argument("--mp_precision", type=str, default="float32")
+    p.add_argument("--dp", type=int, default=0,
+                   help="serving data-parallel devices (0 = all available)")
     p.add_argument("--platform", type=str, default="default")
     return p
 

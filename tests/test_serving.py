@@ -150,6 +150,25 @@ def test_http_server_roundtrip():
         srv.server_close()
 
 
+def test_dp_mesh_rollout_matches_single_device():
+    """An 8-device dp-sharded serving engine must match the unsharded
+    engine. GSPMD partitioning reassociates a few reductions (float-level
+    drift ~1e-7 per window, compounding through the autoregressive
+    horizon), so the check is a tight allclose rather than bit-equality."""
+    from msmp_pde_tpu.parallel.mesh import make_mesh
+
+    trainer = small_trainer()
+    params = trainer.init_params(jax.random.PRNGKey(1), batch_size=2)
+    plain = RolloutEngine(trainer, params, batch_buckets=(8,))
+    sharded = RolloutEngine(trainer, params, batch_buckets=(8,),
+                            mesh=make_mesh(8))
+    rng = np.random.default_rng(7)
+    window = rng.normal(size=(6, 24, 20)).astype(np.float32)
+    a = plain.rollout(window, start_step=20, n_windows=3)
+    b = sharded.rollout(window, start_step=20, n_windows=3)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_uniform_grid_matches_pde_conventions():
     from msmp_pde_tpu.training.setup import pde_for_experiment
 
