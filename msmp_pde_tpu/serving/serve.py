@@ -130,7 +130,7 @@ def main(args):
         build_serving_trainer,
     )
     from msmp_pde_tpu.training.setup import data_family, resolve_data_path
-    from msmp_pde_tpu.utils.checkpoint import restore_checkpoint
+    from msmp_pde_tpu.utils.checkpoint import restore_params
 
     wait_for_backend()
     data_path = None
@@ -150,7 +150,7 @@ def main(args):
         mp_precision=args.mp_precision,
     )
     params = trainer.init_params(jax.random.PRNGKey(0))
-    params = restore_checkpoint(args.checkpoint, {"params": params})["params"]
+    params = restore_params(args.checkpoint, trainer, params)
     buckets = tuple(args.batch_buckets)
     mesh = None
     n_dp = args.dp or len(jax.devices())
