@@ -17,10 +17,15 @@ import numpy as np
 
 
 def export_rollout(engine, batch: int, n_windows: int,
-                   path: Optional[str] = None) -> bytes:
+                   path: Optional[str] = None,
+                   platforms: Optional[tuple] = None) -> bytes:
     """Serialize one (batch, horizon) rollout program with the engine's
     params baked in as constants. Returns the bytes; also writes ``path``
-    when given."""
+    when given.
+
+    ``platforms``: optional lowering platforms, e.g. ``("cpu", "tpu")`` to
+    produce one artifact that serves on both; default = the current
+    backend's platform only."""
     import jax
     from jax import export as jexport
 
@@ -37,7 +42,9 @@ def export_rollout(engine, batch: int, n_windows: int,
     steps_s = jax.ShapeDtypeStruct((batch,), np.int32)
     var_s = {k: jax.ShapeDtypeStruct((batch,), np.float32)
              for k in trainer.eq_norms}
-    exported = jexport.export(jax.jit(serve_fn))(window_s, steps_s, var_s)
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+    exported = jexport.export(jax.jit(serve_fn), **kw)(window_s, steps_s,
+                                                       var_s)
     blob = exported.serialize()
     if path is not None:
         with open(path, "wb") as f:

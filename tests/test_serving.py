@@ -98,6 +98,35 @@ def test_trajectory_layout():
     np.testing.assert_allclose(traj[1, 2 * 20 + 7, 0], preds[1, 2, :, 7])
 
 
+def test_engine_matches_eval_rollout_store():
+    """Serving must reproduce the validated eval path: feeding the engine
+    the first ground-truth window of a trajectory gives the same rollout
+    as metrics.rollout_store (same forward chain, same window advance)."""
+    import jax.numpy as jnp
+
+    from msmp_pde_tpu.data.graph import slice_windows
+    from msmp_pde_tpu.serving.engine import windows_to_trajectory
+    from msmp_pde_tpu.training.metrics import rollout_store
+
+    trainer = small_trainer()
+    tw, nt, nx = trainer.tw, 100, 24
+    params = trainer.init_params(jax.random.PRNGKey(1), batch_size=2)
+    rng = np.random.default_rng(8)
+    u_all = jnp.asarray(rng.normal(size=(4, nt, nx)).astype(np.float32))
+    nr_gt_steps = 1
+    preds_ref, _ = rollout_store(trainer, params, u_all, {}, batch_size=4,
+                                 nr_gt_steps=nr_gt_steps, t_res=nt)
+
+    eng = RolloutEngine(trainer, params, batch_buckets=(4,))
+    start = tw * nr_gt_steps
+    window, _ = slice_windows(u_all, jnp.full((4,), start, jnp.int32), tw)
+    n_windows = (nt - tw) // tw - nr_gt_steps + 1
+    preds = eng.rollout(np.asarray(window), start_step=start,
+                        n_windows=n_windows)
+    traj = windows_to_trajectory(preds, trainer.d, tw)
+    np.testing.assert_allclose(traj, preds_ref, rtol=1e-5, atol=1e-6)
+
+
 def test_export_roundtrip_matches_engine(tmp_path):
     eng = _engine()
     from msmp_pde_tpu.serving.export import export_rollout, load_exported
