@@ -98,6 +98,56 @@ def test_trajectory_layout():
     np.testing.assert_allclose(traj[1, 2 * 20 + 7, 0], preds[1, 2, :, 7])
 
 
+def _small_trainer_2d(nx=16, tw=20, nt=100):
+    from msmp_pde_tpu.data.graph import GraphSpec, build_neighbors_radius
+    from msmp_pde_tpu.models import get_model
+    from msmp_pde_tpu.training.loop import Trainer
+
+    x = np.linspace(0.0, 16.0, nx)
+    idx, mask = build_neighbors_radius(x, 2)
+    spec = GraphSpec(
+        idx=jnp.asarray(idx), mask=jnp.asarray(mask),
+        x=jnp.asarray(x.astype(np.float32)), tw=tw, n_components=2,
+        t_grid=jnp.linspace(0, 4.0, nt, dtype=jnp.float32),
+        L=16.0, tmax=4.0, dt=4.0 / (nt - 1),
+    )
+    eq = {"a": 1.0, "b": 1.0}
+    m, kind = get_model("MSMP-PDE2D", tw=tw, n_eq_vars=len(eq), L=16.0,
+                        tmax=4.0, dt=spec.dt, n_layers=2,
+                        eq_var_names=tuple(eq))
+    return Trainer(model=m, kind=kind, spec=spec, eq_norms=eq)
+
+
+def test_2d_system_rollout_with_eq_variables():
+    """2-component engine path: per-component window advance, eq-variable
+    plumbing, and the d=2 trajectory layout."""
+    trainer = _small_trainer_2d()
+    params = trainer.init_params(jax.random.PRNGKey(2), batch_size=2)
+    eng = RolloutEngine(trainer, params, batch_buckets=(2,))
+    rng = np.random.default_rng(9)
+    window = rng.normal(size=(2, 16, 40)).astype(np.float32)
+    variables = {"a": np.array([0.3, 0.5], np.float32),
+                 "b": np.array([9.0, 8.5], np.float32)}
+    got = eng.rollout(window, variables=variables, start_step=20,
+                      n_windows=3)
+    # manual chain with the same variables
+    w = jnp.asarray(window)
+    steps = jnp.full((2,), 20, jnp.int32)
+    vj = {k: jnp.asarray(v) for k, v in variables.items()}
+    preds, state = [], None
+    for i in range(3):
+        s = jnp.clip(steps + i * 20, 20, 80)
+        pred, state = trainer.forward(params, w, s, vj, lem_state=state)
+        preds.append(np.asarray(pred))
+        w = advance_windows(w, pred, 2, 20)
+    np.testing.assert_allclose(got, np.stack(preds, axis=1),
+                               rtol=1e-6, atol=1e-6)
+    traj = windows_to_trajectory(got, d=2, tw=20)
+    assert traj.shape == (2, 60, 2, 16)
+    # component c of window s, offset k: traj[b, s*20+k, c] = preds[b,s,:,c*20+k]
+    np.testing.assert_allclose(traj[0, 1 * 20 + 3, 1], got[0, 1, :, 20 + 3])
+
+
 def test_engine_matches_eval_rollout_store():
     """Serving must reproduce the validated eval path: feeding the engine
     the first ground-truth window of a trajectory gives the same rollout
