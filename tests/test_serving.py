@@ -98,6 +98,19 @@ def test_trajectory_layout():
     np.testing.assert_allclose(traj[1, 2 * 20 + 7, 0], preds[1, 2, :, 7])
 
 
+def test_grid_model_engine_rollout():
+    """The engine is model-kind-agnostic: a grid model (FNO) rolls out
+    through the same bucketed path as graph models."""
+    trainer = small_trainer(model="FNO", nx=40)  # rfft >= the 16 FNO modes
+    params = trainer.init_params(jax.random.PRNGKey(3), batch_size=2)
+    eng = RolloutEngine(trainer, params, batch_buckets=(4,))
+    rng = np.random.default_rng(10)
+    window = rng.normal(size=(3, 40, 20)).astype(np.float32)
+    got = eng.rollout(window, start_step=20, n_windows=2)
+    want = _manual_rollout(eng, window, 20, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def _small_trainer_2d(nx=16, tw=20, nt=100):
     from msmp_pde_tpu.data.graph import GraphSpec, build_neighbors_radius
     from msmp_pde_tpu.models import get_model
