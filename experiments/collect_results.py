@@ -113,6 +113,17 @@ def harvest(log_dir="experiments/log"):
         if val and test:
             rows.append((*meta, float(val[-1]), float(test[-1]),
                          float(el[-1]) / 60 if el else float("nan"), base))
+            continue
+        # run cut before the footer (timeout/outage): the per-epoch
+        # best-val blocks print valid-then-test "L2 relative error" pairs
+        # (training/train.py:190-199) — harvest the last saved checkpoint
+        partial = re.findall(r"L2 relative error ([\d.]+) %", txt)
+        if len(partial) >= 2 and "Saved model at" in txt:
+            task, model, note = meta
+            note = (note + "; " if note else "") + \
+                "best-val checkpoint metrics — run cut before completion"
+            rows.append((task, model, note, float(partial[-2]),
+                         float(partial[-1]), float("nan"), base))
         else:
             pending.append((*meta, base))
     rows.extend((t, m, n, v, test, mins, "(RESULTS.md)")
@@ -128,8 +139,9 @@ def render(rows, pending):
            "|---|---|---|---|---|---|"]
     for task, model, note, val, test, mins, base in rows:
         v = f"{val:.2f}%" if val is not None else "—"
+        wall = f"{mins:.0f} min" if mins == mins else "—"
         out.append(f"| {task} | {model} | {v} | **{test:.2f}%** | "
-                   f"{mins:.0f} min | {note} |")
+                   f"{wall} | {note} |")
     if pending:
         out.append("")
         out.append("In flight / not yet recorded: " + ", ".join(
