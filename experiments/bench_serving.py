@@ -5,9 +5,12 @@ RolloutEngine (uniform-grid metadata — no dataset load), and measures the
 full 8-window autoregressive rollout (the E1 eval horizon: nr_gt_steps=2,
 t_res=250, tw=25) per bucket. One JSON line per bucket plus a summary line.
 
-NB (tunnel): single sub-ms dispatches measure unreliably through the axon
-RPC tunnel, so each timing point is a burst of ``--reps`` back-to-back
-requests with one final block, like bench.py.
+The measurement is END-TO-END per request — engine.rollout() returns host
+numpy, so every rep pays the full dispatch + device-to-host transfer round
+trip through the axon tunnel. That is deliberate: it is the latency a
+serving client actually observes (unlike bench.py's fused training pass,
+which amortizes dispatch on purpose). ``--reps`` requests are averaged to
+tame tunnel jitter.
 """
 import argparse
 import glob

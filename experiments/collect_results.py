@@ -116,14 +116,20 @@ def harvest(log_dir="experiments/log"):
             continue
         # run cut before the footer (timeout/outage): the per-epoch
         # best-val blocks print valid-then-test "L2 relative error" pairs
-        # (training/train.py:190-199) — harvest the last saved checkpoint
-        partial = re.findall(r"L2 relative error ([\d.]+) %", txt)
-        if len(partial) >= 2 and "Saved model at" in txt:
+        # (training/train.py:190-199) — harvest the last COMPLETE pair,
+        # anchored on the *Valid*/*Test* markers (a run cut between the two
+        # prints must not pair a stale test with a fresh valid value)
+        pairs = re.findall(
+            r"\*Valid\*\nL2 error [\d.e+-]+\nL2 relative error ([\d.]+) %\n"
+            r"\*Test\*\nL2 error [\d.e+-]+\nL2 relative error ([\d.]+) %",
+            txt,
+        )
+        if pairs and "Saved model at" in txt:
             task, model, note = meta
             note = (note + "; " if note else "") + \
                 "best-val checkpoint metrics — run cut before completion"
-            rows.append((task, model, note, float(partial[-2]),
-                         float(partial[-1]), float("nan"), base))
+            rows.append((task, model, note, float(pairs[-1][0]),
+                         float(pairs[-1][1]), float("nan"), base))
         else:
             pending.append((*meta, base))
     rows.extend((t, m, n, v, test, mins, "(RESULTS.md)")

@@ -79,9 +79,7 @@ def uniform_grid(pde, base_resolution) -> GridInfo:
             f"{family} grid is data-defined; pass a dataset file"
         )
     L = float(getattr(pde, "L", 16.0))
-    if family == "AD":
-        x = np.linspace(0.0, L, nx)
-    elif family == "KS":
+    if family == "KS":
         x = np.linspace(0.0, 2 * np.pi * pde.L, nx)
     else:
         x = np.linspace(0.0, L, nx)
@@ -103,10 +101,17 @@ def build_serving_trainer(experiment: str, model: str, *,
                           n_graph_layers: int = 6,
                           data_path: Optional[str] = None,
                           mode: str = "test",
-                          mp_precision: str = "float32"):
+                          mp_precision: str = "float32",
+                          data_suffix: str = ""):
     """Dataset-light twin of ``training.setup.setup_experiment``: builds the
     same (trainer, eq_norms) the train/eval CLIs use, from grid metadata
-    instead of loaded trajectories."""
+    instead of loaded trajectories.
+
+    ``data_suffix``: set to ``"_I"`` when serving a checkpoint trained on
+    the interpolated uniform-grid datasets — it applies the same
+    ``unstructured_grid = False`` override as setup_experiment
+    (training/setup.py:120-122), so the serving graph (radius stencil)
+    matches the training graph instead of the unstructured kNN graph."""
     from msmp_pde_tpu.data import build_graph_spec
     from msmp_pde_tpu.models import get_model
     from msmp_pde_tpu.training.loop import Trainer
@@ -116,6 +121,8 @@ def build_serving_trainer(experiment: str, model: str, *,
     )
 
     pde = pde_for_experiment(experiment, tuple(base_resolution))
+    if data_suffix:
+        pde.unstructured_grid = False
     eq_norms = eq_variable_norms(experiment)
     if data_path is not None:
         grid = grid_from_h5(data_path, pde, mode, tuple(base_resolution),
@@ -227,10 +234,19 @@ class RolloutEngine:
             raise ValueError(f"window must be [B, nx, d*tw], got "
                              f"{window.shape}")
         B = window.shape[0]
-        variables = dict(variables or self.default_variables(B))
-        for k in self.trainer.eq_norms:
-            if k not in variables:
-                variables[k] = np.zeros((B,), np.float32)
+        if variables is None:
+            variables = self.default_variables(B)
+        else:
+            # strict: a misspelled or missing equation variable must fail
+            # loudly, not silently condition the model on zeros
+            want = set(self.trainer.eq_norms)
+            got = set(variables)
+            if got != want:
+                raise ValueError(
+                    f"equation variables mismatch: expected {sorted(want)}, "
+                    f"got {sorted(got)}"
+                )
+            variables = dict(variables)
         if start_step is None:
             steps = np.full((B,), tw, np.int32)
         else:  # scalar or per-sample [B]

@@ -30,8 +30,9 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 
-def make_handler(engine, meta):
+def make_handler(engine, meta, max_windows: int = 64):
     lock = threading.Lock()
+    known_vars = set(engine.trainer.eq_norms)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet; CLI prints its own line
@@ -57,6 +58,13 @@ def make_handler(engine, meta):
             try:
                 q = parse_qs(url.query)
                 n_windows = int(q.get("n_windows", ["1"])[0])
+                if not 1 <= n_windows <= max_windows:
+                    # each distinct horizon compiles (and caches) a whole
+                    # unrolled program — an unbounded client value is a
+                    # compile bomb holding the device lock
+                    raise ValueError(
+                        f"n_windows must be in [1, {max_windows}]"
+                    )
                 as_traj = q.get("format", [""])[0] == "trajectory"
                 length = int(self.headers.get("Content-Length", "0"))
                 with np.load(io.BytesIO(self.rfile.read(length))) as z:
@@ -64,6 +72,12 @@ def make_handler(engine, meta):
                     steps = z["steps"] if "steps" in z.files else None
                     variables = {k: z[k] for k in z.files
                                  if k not in ("window", "steps")}
+                unknown = set(variables) - known_vars
+                if unknown:
+                    raise ValueError(
+                        f"unknown arrays {sorted(unknown)}; this model "
+                        f"takes equation variables {sorted(known_vars)}"
+                    )
                 start = steps if steps is not None else None
                 with lock:
                     if as_traj:
@@ -76,7 +90,10 @@ def make_handler(engine, meta):
                             window, variables=variables or None,
                             start_step=start, n_windows=n_windows)
                         key = "preds"
-            except (KeyError, ValueError, OSError) as e:
+            except Exception as e:  # malformed inputs can surface as any
+                # of ValueError/KeyError/TypeError/zipfile/jax trace errors;
+                # a closed socket (what an uncaught exception produces here)
+                # is strictly worse than a 400 with the message
                 return self._json(400, {"error": f"{type(e).__name__}: {e}"})
             buf = io.BytesIO()
             np.savez(buf, **{key: out})
@@ -147,7 +164,7 @@ def main(args):
         super_resolution=tuple(args.super_resolution),
         neighbors=args.neighbors, time_window=args.time_window,
         n_graph_layers=args.n_graph_layers, data_path=data_path,
-        mp_precision=args.mp_precision,
+        mp_precision=args.mp_precision, data_suffix=args.data_suffix,
     )
     params = trainer.init_params(jax.random.PRNGKey(0))
     params = restore_params(args.checkpoint, trainer, params)
@@ -170,8 +187,10 @@ def main(args):
         "model": args.model,
         "buckets": list(buckets),
     }
-    srv = ThreadingHTTPServer((args.host, args.port),
-                              make_handler(engine, meta))
+    srv = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(engine, meta, max_windows=args.max_windows),
+    )
     print(f"serving {args.model} on {args.experiment} at "
           f"http://{args.host}:{args.port} (backend {meta['backend']})")
     try:
@@ -199,6 +218,9 @@ def build_parser():
     p.add_argument("--batch_buckets", type=int, nargs="+", default=[1, 4, 16])
     p.add_argument("--warmup_windows", type=int, default=8,
                    help="pre-compile every bucket at this horizon (0 = lazy)")
+    p.add_argument("--max_windows", type=int, default=64,
+                   help="reject rollout requests beyond this horizon (each "
+                        "distinct horizon compiles a program)")
     p.add_argument("--data_dir", type=str, default="data",
                    help="grid metadata source (attrs-only read); '' to "
                         "reconstruct the uniform grid from the PDE")

@@ -142,7 +142,7 @@ def main(args):
 
     from msmp_pde_tpu.training import metrics
     from msmp_pde_tpu.training.setup import data_family, setup_experiment
-    from msmp_pde_tpu.utils.checkpoint import restore_checkpoint
+    from msmp_pde_tpu.utils.checkpoint import restore_params
 
     # probe/wait for the backend before the multi-minute dataset load
     from msmp_pde_tpu.parallel.mesh import wait_for_backend
@@ -156,11 +156,8 @@ def main(args):
 
     params = trainer.init_params(jax.random.PRNGKey(0),
                                  batch_size=args.batch_size)
-    tx = trainer.make_optimizer(1e-4, 0.4, [1, 5, 10, 15], 1000)
-    template = {"params": params, "opt_state": tx.init(params), "epoch": 0}
-    restored = restore_checkpoint(args.model_to_test, template)
-    params = restored["params"]
-    print(f"Loaded checkpoint {args.model_to_test} (epoch {restored['epoch']})")
+    params = restore_params(args.model_to_test, trainer, params)
+    print(f"Loaded checkpoint {args.model_to_test}")
 
     # Evaluation data-parallelism over the device mesh, mirroring the train
     # CLI: the metric programs shard their batch axis (metrics.py).

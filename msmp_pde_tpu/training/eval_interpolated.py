@@ -29,7 +29,7 @@ def main(args):
     from msmp_pde_tpu.data import PDEDataset, build_graph_spec
     from msmp_pde_tpu.training import metrics
     from msmp_pde_tpu.training.setup import setup_experiment
-    from msmp_pde_tpu.utils.checkpoint import restore_checkpoint
+    from msmp_pde_tpu.utils.checkpoint import restore_params
 
     # uniform-grid (interpolated) experiment setup; RPU unstructured flag off
     # because the _I datasets live on a uniform grid.
@@ -61,9 +61,7 @@ def main(args):
 
     params = trainer.init_params(jax.random.PRNGKey(0),
                                  batch_size=args.batch_size)
-    tx = trainer.make_optimizer(1e-4, 0.4, [1, 5, 10, 15], 1000)
-    template = {"params": params, "opt_state": tx.init(params), "epoch": 0}
-    params = restore_checkpoint(args.model_to_test, template)["params"]
+    params = restore_params(args.model_to_test, trainer, params)
     print(f"Loaded checkpoint {args.model_to_test}")
 
     u_uniform = jnp.asarray(ds_uniform.u_super)

@@ -98,6 +98,22 @@ def test_trajectory_layout():
     np.testing.assert_allclose(traj[1, 2 * 20 + 7, 0], preds[1, 2, :, 7])
 
 
+def test_strict_equation_variable_validation():
+    """Misspelled or partial equation variables must raise, not silently
+    condition the model on zeros."""
+    trainer = _small_trainer_2d()
+    params = trainer.init_params(jax.random.PRNGKey(2), batch_size=2)
+    eng = RolloutEngine(trainer, params, batch_buckets=(2,))
+    window = np.zeros((2, 16, 40), np.float32)
+    ab = {"a": np.ones((2,), np.float32), "b": np.ones((2,), np.float32)}
+    eng.rollout(window, variables=ab, n_windows=1)  # exact set: fine
+    with pytest.raises(ValueError, match="mismatch"):
+        eng.rollout(window, variables={"aplha": ab["a"], "b": ab["b"]},
+                    n_windows=1)
+    with pytest.raises(ValueError, match="mismatch"):
+        eng.rollout(window, variables={"a": ab["a"]}, n_windows=1)
+
+
 def test_grid_model_engine_rollout():
     """The engine is model-kind-agnostic: a grid model (FNO) rolls out
     through the same bucketed path as graph models."""
@@ -230,13 +246,24 @@ def test_http_server_roundtrip():
         np.testing.assert_allclose(
             traj, windows_to_trajectory(want, 1, 20), rtol=1e-6, atol=1e-6
         )
-        # malformed body -> 400, not a hung server
+        # malformed inputs -> 400, not a hung server / closed socket
         import http.client
 
-        conn = http.client.HTTPConnection("127.0.0.1", port)
-        conn.request("POST", "/v1/rollout", body=b"not-an-npz")
-        assert conn.getresponse().status == 400
-        conn.close()
+        def post(path, body):
+            conn = http.client.HTTPConnection("127.0.0.1", port)
+            conn.request("POST", path, body=body)
+            status = conn.getresponse().status
+            conn.close()
+            return status
+
+        assert post("/v1/rollout", b"not-an-npz") == 400
+        buf = __import__("io").BytesIO()
+        np.savez(buf, window=window, bogus=np.ones((3,), np.float32))
+        assert post("/v1/rollout", buf.getvalue()) == 400  # unknown array
+        buf2 = __import__("io").BytesIO()
+        np.savez(buf2, window=window)
+        assert post("/v1/rollout?n_windows=100000",
+                    buf2.getvalue()) == 400  # compile-bomb guard
     finally:
         srv.shutdown()
         srv.server_close()
