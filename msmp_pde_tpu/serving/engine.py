@@ -80,13 +80,11 @@ def uniform_grid(pde, base_resolution) -> GridInfo:
         )
     L = float(getattr(pde, "L", 16.0))
     if family == "KS":
-        x = np.linspace(0.0, 2 * np.pi * pde.L, nx)
-    else:
-        x = np.linspace(0.0, L, nx)
-    if family == "KS":
+        x = np.linspace(0.0, 2 * np.pi * L, nx)
         tmin, tmax = float(pde.tstart), float(pde.tend)
         dt = (tmax - tmin) / nt  # dt_downsampled convention (generate.py:331)
     else:
+        x = np.linspace(0.0, L, nx)
         tmin, tmax = float(getattr(pde, "tmin", 0.0)), float(pde.tmax)
         dt = (tmax - tmin) / (nt - 1)  # equations/base.py:36
     return GridInfo(x=x.astype(np.float32), nt=nt, dt=dt,
@@ -173,6 +171,7 @@ class RolloutEngine:
 
     # ---------------------------------------------------------- program
     def _rollout_fn(self, n_windows: int):
+        import jax
         import jax.numpy as jnp
 
         from msmp_pde_tpu.data.graph import advance_windows
@@ -192,6 +191,21 @@ class RolloutEngine:
             preds = [pred]
             for _ in range(n_windows - 1):
                 steps = steps + tw
+                if state is not None:
+                    # eval parity for stateful (Save*) models: the
+                    # long-rollout loop beyond the data horizon calls
+                    # forward WITHOUT accumulated state
+                    # (metrics.rollout_store / eval.py:502-575); the LEM
+                    # default init is zeros (models/lem.py:62-64), so a
+                    # per-sample zero-reset reproduces that exactly for
+                    # windows past nt - tw.
+                    in_h = steps <= nt - tw
+                    state = jax.tree.map(
+                        lambda s: jnp.where(
+                            in_h.reshape((-1,) + (1,) * (s.ndim - 1)),
+                            s, jnp.zeros_like(s)),
+                        state,
+                    )
                 window = advance_windows(window, pred, d, tw)
                 pred, state = trainer.forward(params, window, t_clamp(steps),
                                               variables, lem_state=state)
@@ -230,9 +244,17 @@ class RolloutEngine:
         trainer = self.trainer
         tw = trainer.tw
         window = np.asarray(window, np.float32)
-        if window.ndim != 3:
-            raise ValueError(f"window must be [B, nx, d*tw], got "
-                             f"{window.shape}")
+        nx = int(trainer.spec.x.shape[-1])
+        dtw = trainer.d * tw
+        if window.ndim != 3 or window.shape[1:] != (nx, dtw):
+            # strict: a wrong-grid window must fail loudly — grid models
+            # would silently rebuild their coordinate grid from the input
+            # shape and "predict" on a grid they were never trained on,
+            # and every novel shape would compile a fresh program
+            raise ValueError(
+                f"window must be [B, {nx}, {dtw}] for this engine "
+                f"(nx={nx}, d={trainer.d}, tw={tw}), got {window.shape}"
+            )
         B = window.shape[0]
         if variables is None:
             variables = self.default_variables(B)

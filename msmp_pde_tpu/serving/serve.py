@@ -30,7 +30,8 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 
-def make_handler(engine, meta, max_windows: int = 64):
+def make_handler(engine, meta, max_windows: int = 64,
+                 max_batch: int = 1024, max_body_mb: int = 256):
     lock = threading.Lock()
     known_vars = set(engine.trainer.eq_norms)
 
@@ -67,6 +68,21 @@ def make_handler(engine, meta, max_windows: int = 64):
                     )
                 as_traj = q.get("format", [""])[0] == "trajectory"
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > max_body_mb * 2**20:
+                    # bound what a single request can buffer in RAM: drain
+                    # the body in fixed-size chunks (so the client gets a
+                    # clean 400 instead of a broken pipe mid-upload), then
+                    # reject before np.load ever sees it
+                    remaining = length
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(remaining, 1 << 20))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
+                    raise ValueError(
+                        f"request body {length} bytes exceeds the "
+                        f"{max_body_mb} MiB limit"
+                    )
                 with np.load(io.BytesIO(self.rfile.read(length))) as z:
                     window = z["window"]
                     steps = z["steps"] if "steps" in z.files else None
@@ -78,16 +94,28 @@ def make_handler(engine, meta, max_windows: int = 64):
                         f"unknown arrays {sorted(unknown)}; this model "
                         f"takes equation variables {sorted(known_vars)}"
                     )
+                if window.ndim >= 1 and window.shape[0] > max_batch:
+                    # oversize batches chunk over the largest bucket INSIDE
+                    # the device lock — bound how long one client can hold it
+                    raise ValueError(
+                        f"batch {window.shape[0]} exceeds the {max_batch} "
+                        "sample limit; split the request"
+                    )
+                # pass the parsed dict through even when empty: for a model
+                # WITH equation variables an empty request must hit the
+                # engine's strict mismatch check (400), not silently serve
+                # zero-conditioned predictions via default_variables()
                 start = steps if steps is not None else None
+                req_vars = variables if known_vars else None
                 with lock:
                     if as_traj:
                         out = engine.trajectory(
-                            window, variables=variables or None,
+                            window, variables=req_vars,
                             start_step=start, n_windows=n_windows)
                         key = "trajectory"
                     else:
                         out = engine.rollout(
-                            window, variables=variables or None,
+                            window, variables=req_vars,
                             start_step=start, n_windows=n_windows)
                         key = "preds"
             except Exception as e:  # malformed inputs can surface as any
@@ -109,7 +137,8 @@ def make_handler(engine, meta, max_windows: int = 64):
 
 def request_rollout(host: str, port: int, window, *, steps=None,
                     variables=None, n_windows: int = 1,
-                    as_trajectory: bool = False) -> np.ndarray:
+                    as_trajectory: bool = False,
+                    timeout: float = 600.0) -> np.ndarray:
     """Client helper (and the test harness): one POST /v1/rollout."""
     import http.client
 
@@ -121,7 +150,9 @@ def request_rollout(host: str, port: int, window, *, steps=None,
     buf = io.BytesIO()
     np.savez(buf, **arrays)
     fmt = "&format=trajectory" if as_trajectory else ""
-    conn = http.client.HTTPConnection(host, port)
+    # a finite timeout turns a wedged server into socket.timeout instead of
+    # blocking the caller forever (first compile can be minutes on TPU)
+    conn = http.client.HTTPConnection(host, port, timeout=timeout)
     try:
         conn.request("POST", f"/v1/rollout?n_windows={n_windows}{fmt}",
                      body=buf.getvalue(),
@@ -189,7 +220,9 @@ def main(args):
     }
     srv = ThreadingHTTPServer(
         (args.host, args.port),
-        make_handler(engine, meta, max_windows=args.max_windows),
+        make_handler(engine, meta, max_windows=args.max_windows,
+                     max_batch=args.max_batch,
+                     max_body_mb=args.max_body_mb),
     )
     print(f"serving {args.model} on {args.experiment} at "
           f"http://{args.host}:{args.port} (backend {meta['backend']})")
@@ -221,6 +254,12 @@ def build_parser():
     p.add_argument("--max_windows", type=int, default=64,
                    help="reject rollout requests beyond this horizon (each "
                         "distinct horizon compiles a program)")
+    p.add_argument("--max_batch", type=int, default=1024,
+                   help="reject requests with more samples than this (an "
+                        "oversize batch holds the device lock while it "
+                        "chunks)")
+    p.add_argument("--max_body_mb", type=int, default=256,
+                   help="reject request bodies larger than this many MiB")
     p.add_argument("--data_dir", type=str, default="data",
                    help="grid metadata source (attrs-only read); '' to "
                         "reconstruct the uniform grid from the PDE")

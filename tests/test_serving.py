@@ -206,6 +206,51 @@ def test_engine_matches_eval_rollout_store():
     np.testing.assert_allclose(traj, preds_ref, rtol=1e-5, atol=1e-6)
 
 
+def test_stateful_engine_matches_rollout_store_beyond_horizon():
+    """Save*-model eval parity PAST the data horizon: rollout_store's
+    long-rollout loop calls forward without accumulated LEM state
+    (metrics.py:225-228, eval.py:502-575), so the engine must zero-reset
+    the state for beyond-horizon windows — threading it silently diverges
+    from the published eval numbers (review finding, round 3)."""
+    import jax.numpy as jnp
+
+    from msmp_pde_tpu.data.graph import slice_windows
+    from msmp_pde_tpu.training.metrics import rollout_store
+
+    trainer = small_trainer(model="SaveMSMP-PDE")
+    tw, nt, nx = trainer.tw, 100, 24
+    params = trainer.init_params(jax.random.PRNGKey(3), batch_size=2)
+    rng = np.random.default_rng(11)
+    u_all = jnp.asarray(rng.normal(size=(4, nt, nx)).astype(np.float32))
+    nr_gt_steps, n_more = 1, 2
+    preds_ref, _ = rollout_store(trainer, params, u_all, {}, batch_size=4,
+                                 nr_gt_steps=nr_gt_steps, t_res=nt,
+                                 n_more_rollout=n_more)
+
+    eng = RolloutEngine(trainer, params, batch_buckets=(4,))
+    start = tw * nr_gt_steps
+    window, _ = slice_windows(u_all, jnp.full((4,), start, jnp.int32), tw)
+    n_windows = (nt - tw) // tw - nr_gt_steps + 1 + n_more
+    preds = eng.rollout(np.asarray(window), start_step=start,
+                        n_windows=n_windows)
+    traj = windows_to_trajectory(preds, trainer.d, tw)
+    np.testing.assert_allclose(traj, preds_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_wrong_grid_window_rejected():
+    """A window whose nx or d*tw doesn't match the engine's spec must fail
+    loudly — grid models would otherwise rebuild their coordinate grid from
+    the input shape and serve wrong-grid predictions, and every novel shape
+    would compile a fresh program (review finding, round 3)."""
+    eng = _engine()
+    with pytest.raises(ValueError, match="window must be"):
+        eng.rollout(np.zeros((2, 32, 20), np.float32))  # wrong nx
+    with pytest.raises(ValueError, match="window must be"):
+        eng.rollout(np.zeros((2, 24, 25), np.float32))  # wrong d*tw
+    with pytest.raises(ValueError, match="window must be"):
+        eng.rollout(np.zeros((2, 24), np.float32))  # wrong rank
+
+
 def test_export_roundtrip_matches_engine(tmp_path):
     eng = _engine()
     from msmp_pde_tpu.serving.export import export_rollout, load_exported
@@ -264,6 +309,65 @@ def test_http_server_roundtrip():
         np.savez(buf2, window=window)
         assert post("/v1/rollout?n_windows=100000",
                     buf2.getvalue()) == 400  # compile-bomb guard
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_server_resource_and_variable_guards():
+    """Server-side limits (review findings, round 3): a model WITH equation
+    variables must 400 on a request that omits them ALL (not silently serve
+    zero-conditioned predictions); oversize batches and oversize bodies are
+    rejected before touching the device."""
+    import http.client
+    import io as _io
+    from http.server import ThreadingHTTPServer
+
+    from msmp_pde_tpu.serving.serve import make_handler, request_rollout
+
+    trainer = _small_trainer_2d()
+    params = trainer.init_params(jax.random.PRNGKey(4), batch_size=2)
+    eng = RolloutEngine(trainer, params, batch_buckets=(2,))
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(eng, {"experiment": "unit"}, max_batch=4, max_body_mb=1),
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        rng = np.random.default_rng(12)
+        window = rng.normal(size=(2, 16, 40)).astype(np.float32)
+        variables = {"a": np.array([0.3, 0.5], np.float32),
+                     "b": np.array([9.0, 8.5], np.float32)}
+        # complete request works
+        got = request_rollout("127.0.0.1", port, window,
+                              variables=variables, n_windows=1)
+        assert got.shape == (2, 1, 16, 40)
+
+        def post(path, body):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.request("POST", path, body=body)
+            status = conn.getresponse().status
+            conn.close()
+            return status
+
+        # ALL equation variables omitted -> 400 (silent-zeros guard)
+        buf = _io.BytesIO()
+        np.savez(buf, window=window)
+        assert post("/v1/rollout", buf.getvalue()) == 400
+        # batch over max_batch -> 400
+        big = np.zeros((5, 16, 40), np.float32)
+        buf2 = _io.BytesIO()
+        np.savez(buf2, window=big,
+                 a=np.zeros((5,), np.float32), b=np.zeros((5,), np.float32))
+        assert post("/v1/rollout", buf2.getvalue()) == 400
+        # body over max_body_mb -> 400 (before np.load; batch is legal)
+        huge = np.zeros((4, 16, 40 * 300), np.float32)  # ~3 MiB
+        buf3 = _io.BytesIO()
+        np.savez(buf3, window=huge,
+                 a=np.zeros((4,), np.float32), b=np.zeros((4,), np.float32))
+        assert post("/v1/rollout", buf3.getvalue()) == 400
     finally:
         srv.shutdown()
         srv.server_close()
