@@ -30,9 +30,59 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 
+class _Stats:
+    """Thread-safe request counters + rolling latency quantiles (last 1024
+    device-side latencies, seconds). Exposed at GET /metrics."""
+
+    def __init__(self, window: int = 1024):
+        from collections import deque
+
+        self._lock = threading.Lock()
+        self._lat = deque(maxlen=window)
+        self.requests = 0
+        self.errors = 0
+        self.samples = 0
+        self.windows = 0
+
+    def ok(self, batch: int, n_windows: int, latency_s: float):
+        with self._lock:
+            self.requests += 1
+            self.samples += batch
+            self.windows += batch * n_windows
+            self._lat.append(latency_s)
+
+    def err(self):
+        with self._lock:
+            self.requests += 1
+            self.errors += 1
+
+    def snapshot(self):
+        import numpy as _np
+
+        with self._lock:
+            lat = list(self._lat)
+            out = {
+                "requests": self.requests,
+                "errors": self.errors,
+                "samples": self.samples,
+                "windows": self.windows,
+            }
+        if lat:
+            q50, q95, q99 = _np.percentile(lat, [50, 95, 99])
+            out["latency_s"] = {
+                "p50": round(float(q50), 4),
+                "p95": round(float(q95), 4),
+                "p99": round(float(q99), 4),
+                "max": round(float(max(lat)), 4),
+                "n": len(lat),
+            }
+        return out
+
+
 def make_handler(engine, meta, max_windows: int = 64,
                  max_batch: int = 1024, max_body_mb: int = 256):
     lock = threading.Lock()
+    stats = _Stats()
     known_vars = set(engine.trainer.eq_norms)
 
     class Handler(BaseHTTPRequestHandler):
@@ -48,9 +98,12 @@ def make_handler(engine, meta, max_windows: int = 64,
             self.wfile.write(body)
 
         def do_GET(self):
-            if urlparse(self.path).path != "/healthz":
-                return self._json(404, {"error": "not found"})
-            self._json(200, {"status": "ok", **meta})
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                return self._json(200, {"status": "ok", **meta})
+            if path == "/metrics":
+                return self._json(200, stats.snapshot())
+            return self._json(404, {"error": "not found"})
 
         def do_POST(self):
             url = urlparse(self.path)
@@ -107,6 +160,9 @@ def make_handler(engine, meta, max_windows: int = 64,
                 # zero-conditioned predictions via default_variables()
                 start = steps if steps is not None else None
                 req_vars = variables if known_vars else None
+                import time as _time
+
+                t0 = _time.perf_counter()
                 with lock:
                     if as_traj:
                         out = engine.trajectory(
@@ -118,10 +174,13 @@ def make_handler(engine, meta, max_windows: int = 64,
                             window, variables=req_vars,
                             start_step=start, n_windows=n_windows)
                         key = "preds"
+                stats.ok(int(window.shape[0]), n_windows,
+                         _time.perf_counter() - t0)
             except Exception as e:  # malformed inputs can surface as any
                 # of ValueError/KeyError/TypeError/zipfile/jax trace errors;
                 # a closed socket (what an uncaught exception produces here)
                 # is strictly worse than a 400 with the message
+                stats.err()
                 return self._json(400, {"error": f"{type(e).__name__}: {e}"})
             buf = io.BytesIO()
             np.savez(buf, **{key: out})

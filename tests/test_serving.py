@@ -368,6 +368,16 @@ def test_http_server_resource_and_variable_guards():
         np.savez(buf3, window=huge,
                  a=np.zeros((4,), np.float32), b=np.zeros((4,), np.float32))
         assert post("/v1/rollout", buf3.getvalue()) == 400
+
+        # /metrics reflects the traffic above: 1 ok (2 samples), 3 errors
+        import json as _json
+        import urllib.request as _rq
+
+        with _rq.urlopen(f"http://127.0.0.1:{port}/metrics", timeout=60) as r:
+            m = _json.load(r)
+        assert m["requests"] == 4 and m["errors"] == 3
+        assert m["samples"] == 2 and m["windows"] == 2
+        assert m["latency_s"]["n"] == 1 and m["latency_s"]["p50"] > 0
     finally:
         srv.shutdown()
         srv.server_close()
