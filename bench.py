@@ -23,11 +23,24 @@ mfu_pct against the bf16 peak is the honest utilization number; the f32
 ratio is reported alongside.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Outage-proofing (round 4): the backend probe is BOUNDED (MSMP_BENCH_WAIT_S,
+default 300 s total, probed in killable subprocesses — a downed backend makes
+an in-process init attempt hang ~25 min). Every successful run persists its
+JSON to experiments/bench_cache.json; if the backend is down when the driver
+runs this script, the cache is emitted with "backend_down": true instead of
+timing out with no output at all.
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "experiments", "bench_cache.json")
 
 BASELINE_SAMPLES_PER_SEC = 533.0  # estimated A100 torch reference (see above)
 
@@ -168,66 +181,143 @@ def main():
         flops_per_step = mfu_bf16 = mfu_f32 = None
 
     datagen_sps = bench_datagen_e1()
-    print(
-        json.dumps(
-            {
-                "metric": "MSMP-PDE train throughput (E1 cfg, bs=16, nx=100, pushforward=1)",
-                "value": round(samples_per_sec, 2),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(
-                    datagen_sps / TORCH_REF_DATAGEN_SAMPLES_PER_SEC_MEASURED, 2
-                ),
-                "vs_baseline_provenance": (
-                    "MEASURED: our E1 datagen samples/s on one chip divided by "
-                    "the unmodified torch reference's datagen samples/s "
-                    "measured on this host (experiments/torchref_e1.py) — "
-                    "no estimates. Train-step A100 ratio is an estimate; see "
-                    "vs_a100_train_step_estimated."
-                ),
-                "mfu_pct": mfu_bf16,
-                "mfu_pct_vs_f32_peak": mfu_f32,
-                "mfu_provenance": (
-                    "cost_analysis() FLOPs of the mathematically identical "
-                    "mp_impl=xla lowering (cost_analysis cannot see inside "
-                    "Pallas custom calls) / measured production wall-clock; "
-                    "v5e peaks 197 TFLOP/s bf16 (matmuls run at "
-                    "Precision.DEFAULT = single bf16 MXU pass) and 49.2 f32"
-                ),
-                "flops_per_step": flops_per_step,
-                "datagen_e1_samples_per_sec_chip": round(datagen_sps, 2),
-                "datagen_torch_ref_measured_samples_per_sec": round(
-                    TORCH_REF_DATAGEN_SAMPLES_PER_SEC_MEASURED, 3
-                ),
-                "vs_a100_train_step_estimated": round(
-                    samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3
-                ),
-            }
+    # vs_baseline refers to the SAME quantity as "value" (train throughput,
+    # vs the clearly-labeled A100 torch-reference ESTIMATE — the repo
+    # publishes no numbers and its CUDA deps are not installable here).
+    # The estimate-free MEASURED comparison is the datagen ratio, reported
+    # under its own key datagen_vs_torch_ref_measured.
+    result = {
+        "metric": "MSMP-PDE train throughput (E1 cfg, bs=16, nx=100, pushforward=1)",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
+        "vs_baseline_provenance": (
+            "ESTIMATE: value / 533 samples/s, an estimated A100 torch "
+            "reference train step (~30 ms: host-side PyG graph rebuild per "
+            "batch + ~1.2M-param gated GNN fwd+bwd; the repo publishes no "
+            "numbers — BASELINE.md). The estimate-free MEASURED comparison "
+            "is datagen_vs_torch_ref_measured."
+        ),
+        "mfu_pct": mfu_bf16,
+        "mfu_pct_vs_f32_peak": mfu_f32,
+        "mfu_provenance": (
+            "cost_analysis() FLOPs of the mathematically identical "
+            "mp_impl=xla lowering (cost_analysis cannot see inside "
+            "Pallas custom calls) / measured production wall-clock; "
+            "v5e peaks 197 TFLOP/s bf16 (matmuls run at "
+            "Precision.DEFAULT = single bf16 MXU pass) and 49.2 f32"
+        ),
+        "flops_per_step": flops_per_step,
+        "datagen_vs_torch_ref_measured": round(
+            datagen_sps / TORCH_REF_DATAGEN_SAMPLES_PER_SEC_MEASURED, 2
+        ),
+        "datagen_vs_torch_ref_provenance": (
+            "MEASURED: our E1 datagen samples/s on one chip divided by the "
+            "unmodified torch reference's datagen samples/s measured on "
+            "this host (experiments/torchref_e1.py) — no estimates."
+        ),
+        "datagen_e1_samples_per_sec_chip": round(datagen_sps, 2),
+        "datagen_torch_ref_measured_samples_per_sec": round(
+            TORCH_REF_DATAGEN_SAMPLES_PER_SEC_MEASURED, 3
+        ),
+        "backend_down": False,
+    }
+    try:
+        import jax
+
+        result["device"] = str(jax.devices()[0].device_kind)
+    except Exception:
+        pass
+    return result
+
+
+def _probe_backend(budget_s: float) -> bool:
+    """True iff an accelerator backend initializes within budget_s.
+
+    Probes in a killable subprocess: while the backend is down, an
+    in-process jax init attempt hangs on a ~25-min RPC timeout (seen in the
+    Aug 17-18 outage), far past any sane bench window.
+    """
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d=jax.devices(); "
+                 "assert d[0].platform != 'cpu'; print('BENCH_BACKEND_UP')"],
+                capture_output=True, text=True, timeout=remaining,
+            )
+            if "BENCH_BACKEND_UP" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            return False
+        print(f"# backend probe {attempt} failed; "
+              f"{deadline - time.monotonic():.0f}s budget left",
+              file=sys.stderr)
+        time.sleep(min(20.0, max(0.0, deadline - time.monotonic())))
+
+
+def _emit_cached(reason: str) -> None:
+    """Emit the last-known-good result marked backend_down instead of
+    producing no JSON at all (round-3 failure mode: rc=124, parsed=null)."""
+    try:
+        with open(CACHE_PATH) as f:
+            cached = json.load(f)
+        result = dict(cached["result"])
+        result["backend_down"] = True
+        result["cache_provenance"] = (
+            f"{reason}; numbers are the last successful run's "
+            f"({cached.get('recorded_at', 'unknown time')}, "
+            f"git {cached.get('git_rev', '?')})"
         )
-    )
+    except Exception as e:
+        result = {
+            "metric": "MSMP-PDE train throughput (E1 cfg, bs=16, nx=100, pushforward=1)",
+            "value": None,
+            "unit": "samples/sec/chip",
+            "vs_baseline": None,
+            "backend_down": True,
+            "cache_provenance": f"{reason}; no cache available ({e!r})",
+        }
+    print(json.dumps(result))
+
+
+def _save_cache(result: dict) -> None:
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(CACHE_PATH)).stdout.strip()
+    except Exception:
+        rev = "?"
+    payload = {
+        "result": result,
+        "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "git_rev": rev,
+    }
+    tmp = CACHE_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+    os.replace(tmp, CACHE_PATH)
 
 
 if __name__ == "__main__":
-    import os
-    import sys
-
-    # The chip is shared with the serialized training queues
-    # (experiments/tpu_queue_*.sh); after a heavy process exits it takes up
-    # to ~6 min to release. If the backend can't initialize, re-exec after a
-    # pause instead of failing — a failed init poisons the process, so a
-    # fresh exec is the only clean retry.
-    attempt = int(os.environ.get("BENCH_RETRY_ATTEMPT", "0"))
-    max_retries = int(os.environ.get("BENCH_MAX_RETRIES", "30"))
+    budget = float(os.environ.get("MSMP_BENCH_WAIT_S", "300"))
+    if not _probe_backend(budget):
+        _emit_cached(f"backend did not initialize within {budget:.0f}s")
+        sys.exit(0)
     try:
-        main()
+        result = main()
     except RuntimeError as e:
         msg = repr(e)
-        busy = ("jellyfish" in msg or "Unable to initialize backend" in msg
-                or "UNAVAILABLE" in msg)
-        if busy and attempt < max_retries:
-            print(f"# chip busy (attempt {attempt + 1}/{max_retries}): "
-                  f"{msg[:120]}; retrying in 60s", file=sys.stderr)
-            sys.stderr.flush()
-            time.sleep(60)
-            os.environ["BENCH_RETRY_ATTEMPT"] = str(attempt + 1)
-            os.execv(sys.executable, [sys.executable] + sys.argv)
+        if ("jellyfish" in msg or "Unable to initialize backend" in msg
+                or "UNAVAILABLE" in msg):
+            _emit_cached(f"backend lost mid-run: {msg[:120]}")
+            sys.exit(0)
         raise
+    _save_cache(result)
+    print(json.dumps(result))
