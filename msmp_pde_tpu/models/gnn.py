@@ -231,6 +231,7 @@ class MPSolver(nn.Module):
     mp_impl: str = "auto"  # auto | pallas | pallas_pair | xla (ops/mp_pallas.py)
     lem_impl: str = "auto"  # auto | pallas | xla (ops/lem_pallas.py)
     mp_precision: str = "float32"  # float32 | bfloat16 | bfloat16s (Pallas)
+    mp_inference: bool = False  # fwd-only use: feasibility skips the bwd blocking
 
     @nn.compact
     def __call__(self, window, pos_x, t, var_vec, idx, mask, lem_state=None):
@@ -243,6 +244,7 @@ class MPSolver(nn.Module):
                 gate="sigmoid", decoder="diff_only", L=self.L,
                 tmax=self.tmax, dt=self.dt, mp_impl=self.mp_impl,
                 lem_impl=self.lem_impl, mp_precision=self.mp_precision,
+                mp_inference=self.mp_inference,
             )
             diff, _ = MPSolver(**sub, name="diff_tower")(
                 window, pos_x, t, var_vec, idx, mask
@@ -272,7 +274,16 @@ class MPSolver(nn.Module):
 
             use_pair = pallas_feasible(
                 window.shape[0], nx, idx.shape[1], self.hidden,
-                window.shape[-1], variables.shape[-1], pair=True)
+                window.shape[-1], variables.shape[-1], pair=True,
+                fwd_only=self.mp_inference)
+            if not use_pair and self.mp_impl == "pallas_pair":
+                # a FORCED mode must not silently measure the wrong kernel
+                # (mirrors _require_bb on the forced "pallas" path); only
+                # "auto" may fall through to the two-kernel path
+                raise ValueError(
+                    "no admissible Pallas batch blocking for the fused "
+                    "gated PAIR at these shapes; use mp_impl=pallas or auto"
+                )
         for i in range(self.layers):
             if self.layer_type == "gat":
                 layer = GATLayer(hidden=self.hidden, name=f"gnn_{i}")
@@ -343,7 +354,8 @@ class MPSolver(nn.Module):
 
         nx, K = idx.shape
         feasible = pallas_feasible(window.shape[0], nx, K, self.hidden,
-                                   window.shape[-1], variables.shape[-1])
+                                   window.shape[-1], variables.shape[-1],
+                                   fwd_only=self.mp_inference)
         if self.mp_impl == "auto" and not feasible:
             return None
         return edge_matrices(idx, mask), backend != "tpu", self.mp_precision

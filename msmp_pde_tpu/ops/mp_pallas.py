@@ -320,12 +320,17 @@ def _pick_bb(B, nx, K, H, dtw, V, backward, pair=False):
     return 0
 
 
-def pallas_feasible(B, nx, K, H, dtw, V, pair=False):
+def pallas_feasible(B, nx, K, H, dtw, V, pair=False, fwd_only=False):
     """True when the fused kernels (fwd AND bwd) have an admissible batch
     blocking at these shapes. The pair's backward runs through the single-
-    layer backward kernels, so its feasibility is the single-layer one."""
-    return (_pick_bb(B, nx, K, H, dtw, V, backward=False, pair=pair) > 0
-            and _pick_bb(B, nx, K, H, dtw, V, backward=True) > 0)
+    layer backward kernels, so its feasibility is the single-layer one.
+
+    fwd_only: inference/serving never lowers the backward, so shapes where
+    only the forward blocking fits should still take the fused kernel
+    instead of falling back to the slower XLA path."""
+    if _pick_bb(B, nx, K, H, dtw, V, backward=False, pair=pair) == 0:
+        return False
+    return fwd_only or _pick_bb(B, nx, K, H, dtw, V, backward=True) > 0
 
 
 def _flatten2d(x):

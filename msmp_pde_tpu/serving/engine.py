@@ -133,6 +133,9 @@ def build_serving_trainer(experiment: str, model: str, *,
         L=float(getattr(pde, "L", 16.0)), tmax=grid.tmax, dt=grid.dt,
         n_layers=n_graph_layers, eq_var_names=tuple(eq_norms.keys()),
         positions=np.asarray(grid.x), mp_precision=mp_precision,
+        # serving never lowers the backward: shapes where only the forward
+        # blocking fits VMEM still take the fused Pallas path
+        mp_inference=True,
     )
     return Trainer(model=m, kind=kind, spec=spec, eq_norms=eq_norms)
 

@@ -23,7 +23,9 @@ from __future__ import annotations
 
 import io
 import json
+import sys
 import threading
+import zipfile
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -176,12 +178,25 @@ def make_handler(engine, meta, max_windows: int = 64,
                         key = "preds"
                 stats.ok(int(window.shape[0]), n_windows,
                          _time.perf_counter() - t0)
-            except Exception as e:  # malformed inputs can surface as any
-                # of ValueError/KeyError/TypeError/zipfile/jax trace errors;
-                # a closed socket (what an uncaught exception produces here)
-                # is strictly worse than a 400 with the message
+            except (ValueError, KeyError, TypeError, IndexError,
+                    zipfile.BadZipFile) as e:
+                # malformed inputs surface as these (incl. jax trace shape
+                # errors, which raise TypeError/ValueError); a closed socket
+                # (what an uncaught exception produces here) is strictly
+                # worse than a 400 with the message
                 stats.err()
                 return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:
+                # genuine server-side faults (device errors, OOM, engine
+                # bugs): 500 with a generic message; detail stays in the
+                # server log, not the client response
+                stats.err()
+                import traceback
+
+                traceback.print_exc(file=sys.stderr)
+                return self._json(
+                    500, {"error": f"internal server error ({type(e).__name__})"}
+                )
             buf = io.BytesIO()
             np.savez(buf, **{key: out})
             body = buf.getvalue()

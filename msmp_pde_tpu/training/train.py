@@ -34,12 +34,36 @@ def device_arrays(ds):
     return u, ub, var
 
 
+# the only entry points whose argv a watchdog re-exec may replay; fit()
+# embedded in any other process must not re-exec that host with its
+# unrelated argv (the watchdog stays off there)
+_CLI_MODULES = ("msmp_pde_tpu.training.train", "msmp_pde_tpu.training.cv")
+
+
+def _running_as_cli() -> bool:
+    import __main__
+
+    spec = getattr(__main__, "__spec__", None)
+    if spec is not None and spec.name in _CLI_MODULES:
+        return True
+    return os.environ.get("MSMP_WATCHDOG_FORCE", "") == "1"
+
+
+def _checkpoint_finalized(path: str) -> bool:
+    """True iff ``path`` is a COMMITTED orbax checkpoint — the
+    _CHECKPOINT_METADATA marker is written at finalize, so a watchdog that
+    fires mid-save won't point --resume at a half-written directory."""
+    return os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "_CHECKPOINT_METADATA")
+    )
+
+
 def _stall_recovery(args, save_path: str):
     """Watchdog action: re-exec this CLI, resuming from the last best-val
-    checkpoint when one exists (utils/watchdog.py has the failure story).
-    Module re-derived from __main__.__spec__ so the cv CLI (which shares
-    fit()) restarts as itself; --resume injected only for parsers that
-    have the flag."""
+    checkpoint when one is finalized (utils/watchdog.py has the failure
+    story; unfinalized/absent checkpoint -> fresh start). Module re-derived
+    from __main__.__spec__ so the cv CLI (which shares fit()) restarts as
+    itself; --resume injected only for parsers that have the flag."""
     import __main__
 
     spec = getattr(__main__, "__spec__", None)
@@ -49,7 +73,7 @@ def _stall_recovery(args, save_path: str):
         argv = _recovery_argv(
             sys.argv[1:],
             resume=(save_path if hasattr(args, "resume")
-                    and os.path.isdir(save_path) else None),
+                    and _checkpoint_finalized(save_path) else None),
         )
         sys.stdout.flush()
         sys.stderr.flush()
@@ -145,9 +169,13 @@ def fit(args, exp, data, save_path: str):
     # metric-program return; a hung device RPC re-execs with --resume
     # instead of dying to the outer queue's timeout. MSMP_WATCHDOG_S=0
     # disables; the 1800 s default clears first-epoch tunnel compiles
-    # (<= ~7 min) by a wide margin.
-    wd = Watchdog(float(os.environ.get("MSMP_WATCHDOG_S", "1800")),
-                  _stall_recovery(args, save_path)).start()
+    # (<= ~7 min) by a wide margin. Armed ONLY when this process was
+    # launched as the train/cv CLI (or MSMP_WATCHDOG_FORCE=1): the recovery
+    # re-execs sys.argv, which is only safe to replay for those entry
+    # points.
+    wd_stall = (float(os.environ.get("MSMP_WATCHDOG_S", "1800"))
+                if _running_as_cli() else 0.0)
+    wd = Watchdog(wd_stall, _stall_recovery(args, save_path)).start()
 
     def log_beat(*a, **k):
         wd.beat()
