@@ -267,14 +267,52 @@ class KS:
         Ek_tt = jnp.cumsum(Ek_t, axis=-1) / counts
         return {"Ek_kt": Ek_kt, "Ek_k": Ek_k, "Ek_t": Ek_t, "Ek_tt": Ek_tt}
 
+    def _k_grid(self) -> np.ndarray:
+        """The reference's wavenumber array (PDEs.py:617): integers over L
+        with the Nyquist mode labeled k=0 — so |k| filters always KEEP the
+        Nyquist mode. Preserved as-is for behavioral parity."""
+        return np.concatenate([np.arange(0, self.nx / 2), [0.0],
+                               np.arange(-self.nx / 2 + 1, 0)]) / self.L
+
     def space_filter(self, u: jnp.ndarray, k_cut: float = 2.0):
         """Low-pass spatial filter + residual (reference PDEs.py:807-817):
         zero all wavenumbers |k| >= k_cut; returns (u_filtered, u_residual)."""
-        k = jnp.asarray(
-            np.concatenate([np.arange(0, self.nx / 2), [0.0],
-                            np.arange(-self.nx / 2 + 1, 0)]) / self.L
-        )
+        k = jnp.asarray(self._k_grid())
         v = jnp.fft.fft(u)
         v_filt = jnp.where(jnp.abs(k) >= k_cut, 0.0, v)
         u_filt = jnp.real(jnp.fft.ifft(v_filt))
         return u_filt, u - u_filt
+
+    def space_filter_int(self, u: jnp.ndarray, k_cut: float = 2.0,
+                         N_int: int = 16):
+        """Filter + spectral integer-downsample (reference PDEs.py:818-836).
+
+        Keeps the modes |k| < k_cut (including the Nyquist mode, which the
+        reference's k array labels k=0 — see _k_grid) in fft order, rescales
+        them by N_int/nx, and inverse-transforms onto the coarse N_int-point
+        grid x_int = 2*pi*L*[0..N_int)/N_int. The reference selects kept
+        modes by sentinel (313e6) and assigns into a [.., N_int] buffer, so
+        the kept-mode count MUST equal N_int — validated here explicitly.
+        (The reference's N_int=10 default crashes at its own KS defaults;
+        at nx=256 over L=22/2pi, k_cut=2 keeps 16 modes, hence our default.)
+
+        u: [..., T, nx]. Returns (u_filt [..., T, nx], u_resid [..., T, nx],
+        u_filt_int [..., T, N_int], x_int [N_int]).
+        """
+        k = self._k_grid()
+        keep = np.abs(k) < k_cut
+        n_keep = int(keep.sum())
+        if n_keep != N_int:
+            raise ValueError(
+                f"k_cut={k_cut} keeps {n_keep} modes on nx={self.nx}, "
+                f"L={self.L}; N_int must equal the kept-mode count "
+                "(the reference writes the selection into a [.., N_int] "
+                "buffer, PDEs.py:825,831)"
+            )
+        idx = jnp.asarray(np.nonzero(keep)[0])
+        v = jnp.fft.fft(u)
+        v_int = v[..., idx] * (N_int / self.nx)
+        u_filt_int = jnp.real(jnp.fft.ifft(v_int))
+        u_filt, u_resid = self.space_filter(u, k_cut)
+        x_int = 2.0 * np.pi * self.L * np.arange(N_int) / N_int
+        return u_filt, u_resid, u_filt_int, x_int

@@ -133,6 +133,62 @@ def plot_rollouts(preds, trues, t_grid, x, family: str, out_dir="plots",
     plt.close(fig)
 
 
+def plot_ks_spectrum(pde, preds, trues, k_cut=2.0, out_path="plots/ks_spectrum.png",
+                     dpi=400):
+    """KS spectral diagnostics figure (--ks_spectrum): time-averaged energy
+    spectrum Ek_k and total energy Ek_t (equations/ks.py::energy_spectrum,
+    reference PDEs.py:773-804) for prediction vs ground truth, plus the
+    low-pass filtered field and residual magnitude (space_filter,
+    PDEs.py:807-817). preds/trues: [N, T, 1, nx]."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    import jax.numpy as jnp
+
+    p = jnp.asarray(preds[0, :, 0, :])  # [T, nx]
+    t = jnp.asarray(trues[0, :, 0, :])
+    ek_p = pde.energy_spectrum(p)
+    ek_t = pde.energy_spectrum(t)
+    filt_p, resid_p = pde.space_filter(p, k_cut)
+    filt_t, resid_t = pde.space_filter(t, k_cut)
+
+    k = np.abs(pde._k_grid())
+    nhalf = p.shape[-1] // 2
+    fig, axes = plt.subplots(2, 2, figsize=(11, 7))
+    ax = axes[0][0]
+    ax.loglog(k[1:nhalf], np.asarray(ek_t["Ek_k"])[1:nhalf], label="truth")
+    ax.loglog(k[1:nhalf], np.asarray(ek_p["Ek_k"])[1:nhalf], "--",
+              label="prediction")
+    ax.set_xlabel(r"$|k|$")
+    ax.set_ylabel(r"$E_k$ (time-averaged)")
+    ax.legend()
+    ax = axes[0][1]
+    ax.plot(np.asarray(ek_t["Ek_t"]), label="truth")
+    ax.plot(np.asarray(ek_p["Ek_t"]), "--", label="prediction")
+    ax.set_xlabel("Timestep")
+    ax.set_ylabel(r"$E(t)$")
+    ax.legend()
+    ax = axes[1][0]
+    ax.imshow(np.asarray(filt_t).T, aspect="auto")
+    ax.set_title(rf"truth, low-pass $|k|<{k_cut:g}$")
+    ax.set_xlabel("Timestep")
+    ax.set_ylabel("Grid Point")
+    ax = axes[1][1]
+    ax.plot(np.sqrt(np.mean(np.asarray(resid_t) ** 2, -1)), label="truth")
+    ax.plot(np.sqrt(np.mean(np.asarray(resid_p) ** 2, -1)), "--",
+            label="prediction")
+    ax.set_xlabel("Timestep")
+    ax.set_ylabel("residual RMS")
+    ax.legend()
+    fig.suptitle("KS spectral diagnostics")
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=dpi)
+    plt.close(fig)
+
+
 def main(args):
     import jax
 
@@ -204,6 +260,12 @@ def main(args):
                   data_family(args.experiment),
                   start_step=args.time_window * args.nr_gt_steps)
     print("Plots written to plots/")
+    if getattr(args, "ks_spectrum", False):
+        if args.experiment != "KS":
+            raise ValueError("--ks_spectrum is a KS-family diagnostic")
+        plot_ks_spectrum(exp.pde, preds[:, :horizon], trues[:, :horizon],
+                         k_cut=args.ks_k_cut)
+        print("KS spectral diagnostics: plots/ks_spectrum.png")
     if args.n_more_rollout:
         # the reference's long-rollout plot flow (eval.py:725-733 + plot_2D)
         plot_2d_system(preds, trues, n=1,
@@ -226,6 +288,12 @@ def build_parser():
                    help="also report rel-L2 over only the first N rollout "
                         "windows (pre-divergence metric for chaotic tasks "
                         "like KS)")
+    p.add_argument("--ks_spectrum", action="store_true",
+                   help="KS family: write energy-spectrum / low-pass-filter "
+                        "diagnostics (equations/ks.py, reference "
+                        "PDEs.py:773-836) to plots/ks_spectrum.png")
+    p.add_argument("--ks_k_cut", type=float, default=2.0,
+                   help="wavenumber cutoff for the --ks_spectrum filter")
     return p
 
 

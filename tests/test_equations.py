@@ -350,6 +350,71 @@ class TestKSDiagnostics:
         k = np.concatenate([np.arange(0, 32), [0.0], np.arange(-31, 0)]) / ks.L
         assert np.abs(v[:, np.abs(k) >= 2.0]).max() < 1e-9
 
+    @ref_only
+    def test_space_filter_int_matches_reference(self):
+        ref_pdes = _import_ref()
+        L, nx, dt = 22.0 / (2 * np.pi), 64, 0.025
+        ks_ref = ref_pdes.KS(L=L, nx=nx, dt=dt, tend=1.0, tstart=0.0,
+                             dt_downsampled=0.1)
+        ks_ref.IC(ks_ref.u0, testing=False)
+        ks_ref.simulate()
+        ks_ref.fou2real()
+        k = np.concatenate([np.arange(0, nx / 2), [0.0],
+                            np.arange(-nx / 2 + 1, 0)]) / L
+        n_int = int((np.abs(k) < 2.0).sum())
+        ks_ref.space_filter_int(k_cut=2, N_int=n_int)
+
+        ks = KS(L=L, nx=nx, dt=dt, tend=1.0, tstart=0.0, dt_downsampled=0.1)
+        filt, resid, filt_int, x_int = ks.space_filter_int(
+            jnp.asarray(ks_ref.uu), k_cut=2.0, N_int=n_int
+        )
+        # atol 1e-8: the reference filters its stored spectral series vv,
+        # we re-fft its f32-rounded uu -> ~5e-10 representation noise
+        np.testing.assert_allclose(np.asarray(filt), ks_ref.uu_filt,
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(resid), ks_ref.uu_resid,
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(filt_int), ks_ref.uu_filt_int,
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(x_int, ks_ref.x_int, atol=1e-12)
+
+    def test_space_filter_int_band_limited(self):
+        """A signal built from only the kept modes survives both the filter
+        and the integer downsample exactly: u_filt == u and u_filt_int is
+        the same Fourier series sampled on the coarse x_int grid."""
+        ks = KS(L=22.0 / (2 * np.pi), nx=64, dt=0.025, tend=1.0,
+                dt_downsampled=0.1)
+        x = ks.x
+        # modes k = n/L with n in {0, 1}: |k| < 2 for L ~ 3.5
+        u = (0.3 + np.sin(x / ks.L) + 0.5 * np.cos(x / ks.L))[None, :]
+        k = np.concatenate([np.arange(0, 32), [0.0], np.arange(-31, 0)]) / ks.L
+        n_int = int((np.abs(k) < 2.0).sum())
+        filt, resid, filt_int, x_int = ks.space_filter_int(
+            jnp.asarray(u), k_cut=2.0, N_int=n_int
+        )
+        np.testing.assert_allclose(np.asarray(filt), u, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(resid), 0.0, atol=1e-12)
+        u_coarse = 0.3 + np.sin(x_int / ks.L) + 0.5 * np.cos(x_int / ks.L)
+        np.testing.assert_allclose(np.asarray(filt_int)[0], u_coarse,
+                                   atol=1e-12)
+        # kept-mode count mismatch must raise (the reference would crash on
+        # its buffer assignment; we validate eagerly)
+        with pytest.raises(ValueError):
+            ks.space_filter_int(jnp.asarray(u), k_cut=2.0, N_int=10)
+
+    def test_plot_ks_spectrum_writes_figure(self, tmp_path):
+        """--ks_spectrum plotting path (training/eval.py::plot_ks_spectrum)."""
+        from msmp_pde_tpu.training.eval import plot_ks_spectrum
+
+        ks = KS(L=22.0 / (2 * np.pi), nx=64, dt=0.025, tend=1.0,
+                dt_downsampled=0.1)
+        rng = np.random.default_rng(0)
+        preds = rng.normal(size=(2, 10, 1, 64))
+        trues = preds + 0.01 * rng.normal(size=preds.shape)
+        out = tmp_path / "ks_spectrum.png"
+        plot_ks_spectrum(ks, preds, trues, out_path=str(out))
+        assert out.exists() and out.stat().st_size > 0
+
     def test_dft_matmul_path_matches_fft(self):
         """The TPU DFT-matmul stepping must match the complex-fft stepping
         to machine precision (both f64 here)."""
