@@ -284,10 +284,7 @@ def build_parser():
                    help="checkpoint path to evaluate")
     p.add_argument("--n_more_rollout", type=int, default=0,
                    help="extra beyond-horizon rollout windows")
-    p.add_argument("--short_horizon_windows", type=int, default=0,
-                   help="also report rel-L2 over only the first N rollout "
-                        "windows (pre-divergence metric for chaotic tasks "
-                        "like KS)")
+    # --short_horizon_windows comes from the shared train parser
     p.add_argument("--ks_spectrum", action="store_true",
                    help="KS family: write energy-spectrum / low-pass-filter "
                         "diagnostics (equations/ks.py, reference "

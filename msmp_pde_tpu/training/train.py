@@ -204,6 +204,16 @@ def fit(args, exp, data, save_path: str):
             args.nr_gt_steps, t_res, nx_base,
         )
         wd.beat()
+        shw = getattr(args, "short_horizon_windows", 0)
+        if shw:
+            # per-epoch pre-divergence metric for chaotic tasks (KS): rel-L2
+            # over only the first N rollout windows, next to the full-horizon
+            # number (which saturates once trajectories decorrelate)
+            print(f"*Valid short-horizon rel-L2 (first {shw} windows)*")
+            metrics.compute_l2_norms(
+                trainer, params, u_valid, var_valid, args.batch_size,
+                args.nr_gt_steps, t_res, max_windows=shw, log=log_beat,
+            )
         if val_loss < min_val_loss:
             print("Evaluation on test dataset:")
             metrics.test_timestep_losses(
@@ -226,6 +236,13 @@ def fit(args, exp, data, save_path: str):
                 trainer, params, u_test, var_test, args.batch_size,
                 args.nr_gt_steps, t_res,
             )
+            if shw:
+                print(f"*Test short-horizon rel-L2 (first {shw} windows)*")
+                (results["test_L2_short"],
+                 results["test_rel_L2_short"]) = metrics.compute_l2_norms(
+                    trainer, params, u_test, var_test, args.batch_size,
+                    args.nr_gt_steps, t_res, max_windows=shw,
+                )
             save_checkpoint(save_path, params, opt_state, epoch)
             print(f"Saved model at {save_path}\n")
             min_val_loss = val_loss
@@ -313,6 +330,11 @@ def build_parser():
     p.add_argument("--nr_gt_steps", type=int, default=2)
     p.add_argument("--n_graph_layers", type=int, default=6)
     p.add_argument("--print_interval", type=int, default=20)
+    p.add_argument("--short_horizon_windows", type=int, default=0,
+                   help="also report rel-L2 over only the first N rollout "
+                        "windows (per-epoch on valid, and on test at each "
+                        "best-val) — the pre-divergence metric for chaotic "
+                        "tasks like KS")
     p.add_argument("--log", type=eval, default=False)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", type=str, default="default",
