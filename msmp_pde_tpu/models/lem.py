@@ -67,11 +67,6 @@ class LEM(nn.Module):
         W_x, W_y = W[:, :I], W[:, I:]
         Wz_x, Wz_z = Wz[:, :I], Wz[:, I:]
 
-        # hoisted input projections: one [T*N, I] @ [I, 4H] matmul
-        flat = inputs.reshape(T * N, I)
-        gx = (flat @ W_x.T + b).reshape(T, N, 3 * H)
-        zx = (flat @ Wz_x.T + bz).reshape(T, N, H)
-
         impl = self.impl
         if impl == "auto":
             # Measured on a v5e chip (experiments/bench_pallas.py, full
@@ -83,6 +78,51 @@ class LEM(nn.Module):
             # therefore stays on the XLA path; "pallas" remains available
             # (exact parity asserted in tests/test_lem_pallas.py).
             impl = "xla"
+        dt = jnp.asarray(self.dt, inputs.dtype)
+
+        if impl == "nohoist":
+            # In-step fused input projection — the CUDA kernel's own layout
+            # (lem_cuda computes [x_t, y] @ W.T per step). The hoisted
+            # variants materialize gx/zx [T, N, 4H] to HBM (~80 MB at the
+            # E1 config) while the raw inputs are [T, N, I] with I ~ 5
+            # (~1 MB); here each step does one [N, I+H] @ [I+H, 4H] matmul
+            # (inner dim +I, ~4% more MACs) and streams only the raw
+            # inputs. The 4th output block is the z-path's x-projection
+            # ONLY (its recurrent operand is z_new, which doesn't exist at
+            # matmul time), so Wz's recurrent half is zeroed in the fused
+            # weight and z_new @ Wz_z.T stays a separate in-step matmul —
+            # the per-step matmul count is unchanged (2). Same parameters,
+            # same math up to matmul summation order; A/B'd on-chip
+            # (experiments/bench_lem_layout.py).
+            W4 = jnp.concatenate(
+                [W, jnp.concatenate([Wz_x, jnp.zeros_like(Wz[:, I:])], 1)],
+                axis=0,
+            ).T  # [I+H, 4H]
+            b4 = jnp.concatenate([b, bz])
+
+            def step_nh(carry, x_t):
+                y, z = carry
+                p = jnp.concatenate([x_t, y], axis=-1) @ W4 + b4
+                g1, g2, zc, zx_t = jnp.split(p, (H, 2 * H, 3 * H), axis=-1)
+                dt1 = dt * jax.nn.sigmoid(g1)
+                dt2 = dt * jax.nn.sigmoid(g2)
+                z_new = (1.0 - dt1) * z + dt1 * jnp.tanh(zc)
+                y_new = (1.0 - dt2) * y + dt2 * jnp.tanh(
+                    zx_t + z_new @ Wz_z.T
+                )
+                return (y_new, z_new), None
+
+            state, _ = jax.lax.scan(step_nh, initial_state, inputs,
+                                    unroll=True)
+            return state[0], state
+
+        # hoisted input projections: one [T*N, I] @ [I, 4H] matmul
+        flat = inputs.reshape(T * N, I)
+        proj = flat @ jnp.concatenate([W_x, Wz_x], axis=0).T \
+            + jnp.concatenate([b, bz])
+        gx = proj[:, : 3 * H].reshape(T, N, 3 * H)
+        zx = proj[:, 3 * H :].reshape(T, N, H)
+
         if impl == "pallas":
             from msmp_pde_tpu.ops.lem_pallas import lem_scan
 
@@ -92,8 +132,6 @@ class LEM(nn.Module):
                 interpret=jax.default_backend() != "tpu",
             )
             return yT, (yT, zT)
-
-        dt = jnp.asarray(self.dt, inputs.dtype)
 
         def step(carry, xs):
             y, z = carry

@@ -32,6 +32,48 @@ def test_forward_parity(N):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_nohoist_parity():
+    """impl='nohoist' (in-step fused input projection, the CUDA kernel's
+    layout) == impl='xla' (hoisted projection) for forward, final state and
+    gradients — same params, same math up to matmul summation order."""
+    seq = _inputs(T=9, N=60, I=5)
+    m_x = LEM(hidden=32, impl="xla")
+    m_n = LEM(hidden=32, impl="nohoist")
+    params = m_x.init(jax.random.PRNGKey(0), seq)
+    y_x, (yx2, zx2) = m_x.apply(params, seq)
+    y_n, (yn2, zn2) = m_n.apply(params, seq)
+    np.testing.assert_allclose(np.asarray(y_n), np.asarray(y_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(zn2), np.asarray(zx2),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(m):
+        def f(p, s):
+            y, _ = m.apply(p, s)
+            return jnp.sum(y**2)
+
+        return jax.grad(f, argnums=(0, 1))
+
+    g_x, gs_x = loss(m_x)(params, seq)
+    g_n, gs_n = loss(m_n)(params, seq)
+    np.testing.assert_allclose(np.asarray(gs_n), np.asarray(gs_x),
+                               rtol=1e-4, atol=1e-5)
+    for k in g_x["params"]:
+        np.testing.assert_allclose(
+            np.asarray(g_n["params"][k]), np.asarray(g_x["params"][k]),
+            rtol=1e-4, atol=1e-5, err_msg=k,
+        )
+
+    # stateful carry threads identically
+    rng = np.random.default_rng(5)
+    state = (jnp.asarray(rng.normal(size=(60, 32)).astype(np.float32)),
+             jnp.asarray(rng.normal(size=(60, 32)).astype(np.float32)))
+    y_x2, _ = m_x.apply(params, seq, state)
+    y_n2, _ = m_n.apply(params, seq, state)
+    np.testing.assert_allclose(np.asarray(y_n2), np.asarray(y_x2),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_forward_parity_with_state():
     """Stateful (Save*) path: a nonzero initial carry must thread through."""
     seq = _inputs()
