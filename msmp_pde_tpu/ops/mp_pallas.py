@@ -258,16 +258,19 @@ def _bwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
 
 
 def _pair_fwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
-                     bb, nx, mm=None):
+                     bb, nx, stash, mm=None):
     """Fused gated layer PAIR (the gated-loop body, models_gnn.py:1365-1368):
     gate GNN_LayerLin + main GNN_LayerLin share every input; one kernel
     computes both and the combine h' = (1-sigmoid(g))*h + sigmoid(g)*swish(l)
-    in VMEM. The normalized pre-combine outputs gn/ln are ALSO written out:
-    they are the residuals the pair backward needs (it reuses the single-
-    layer backward kernels — a full both-layer recompute-in-one-kernel
-    backward does not fit the ~16 MB VMEM at production shapes)."""
+    in VMEM. With ``stash`` the normalized pre-combine outputs gn/ln are
+    ALSO written out — the residuals for the two-single-kernel fallback
+    backward used when the fused pair backward's blocking doesn't fit VMEM
+    (_pair_bwd_kernel recomputes everything and needs no stash)."""
     wg_refs, wl_refs = rest[:12], rest[12:24]
-    out_ref, gn_ref, ln_ref = rest[24], rest[25], rest[26]
+    if stash:
+        out_ref, gn_ref, ln_ref = rest[24], rest[25], rest[26]
+    else:
+        out_ref = rest[24]
     Wg = tuple(r[...] for r in wg_refs)
     Wl = tuple(r[...] for r in wl_refs)
     h, u, px, v = h_ref[...], u_ref[...], px_ref[...], v_ref[...]
@@ -280,8 +283,70 @@ def _pair_fwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
     ln, _ = _instnorm(ol, bb, nx)
     tau = jax.nn.sigmoid(gn)
     out_ref[...] = (1.0 - tau) * h + tau * _swish(ln)
-    gn_ref[...] = gn
-    ln_ref[...] = ln
+    if stash:
+        gn_ref[...] = gn
+        ln_ref[...] = ln
+
+
+def _pair_bwd_kernel(h_ref, u_ref, px_ref, v_ref, E_ref, G_ref, A_ref, *rest,
+                     bb, nx, mm=None):
+    """Fused pair BACKWARD: one kernel recomputes both layers' forward
+    intermediates, differentiates the gate combine in VMEM, and runs both
+    layers' backward math — inputs stream once instead of twice, no gn/ln
+    stash traffic, one launch instead of two plus XLA glue.
+
+    VMEM liveness: the two layers' saved intermediates never coexist. The
+    gate layer's forward runs FIRST with its intermediates dropped (only
+    the small normalized output gn survives), the main layer is then
+    recomputed + backpropped, and the gate layer is recomputed a second
+    time for its own backward — one extra forward's FLOPs (the kernel is
+    bandwidth-bound; recompute is the cheap axis) for a peak working set
+    of ~one single-layer backward instead of two."""
+    wg_refs, wl_refs = rest[:12], rest[12:24]
+    g_ref = rest[24]
+    dh_ref = rest[25]
+    dw_refs = rest[26:]  # 24 grads: gate 12 then layer 12
+    Wg = tuple(r[...] for r in wg_refs)
+    Wl = tuple(r[...] for r in wl_refs)
+    h, u, px, v = h_ref[...], u_ref[...], px_ref[...], v_ref[...]
+    E, G, A = E_ref[...], G_ref[...], A_ref[...]
+    g = g_ref[...]
+
+    # pass 1: gate forward, intermediates dropped — only gn/rs_g kept
+    og, _ = _forward_math(h, u, px, v, E, G, A, Wg, False, False,
+                          bb, nx, mm=mm)
+    gn, rs_g = _instnorm(og, bb, nx)
+    tau = jax.nn.sigmoid(gn)
+
+    # pass 2: main layer forward + backward (saved_l live only here)
+    ol, saved_l = _forward_math(h, u, px, v, E, G, A, Wl, False, False,
+                                bb, nx, mm=mm)
+    ln, rs_l = _instnorm(ol, bb, nx)
+    # combine h' = (1-tau)*h + tau*swish(ln)
+    dln = g * tau * _dswish(ln)
+    dgn = g * (_swish(ln) - h) * tau * (1.0 - tau)
+    dxo_l = _instnorm_bwd(dln, ln, rs_l, bb, nx)
+    dh_l, dwl = _layer_bwd_math(dxo_l, h, u, px, v, E, G, A, Wl, saved_l,
+                                False, False, bb, nx, mm=mm)
+
+    # pass 3: gate forward again + backward (saved_g live only here)
+    og2, saved_g = _forward_math(h, u, px, v, E, G, A, Wg, False, False,
+                                 bb, nx, mm=mm)
+    dxo_g = _instnorm_bwd(dgn, gn, rs_g, bb, nx)
+    dh_g, dwg = _layer_bwd_math(dxo_g, h, u, px, v, E, G, A, Wg, saved_g,
+                                False, False, bb, nx, mm=mm)
+
+    dh_ref[...] = g * (1.0 - tau) + dh_g + dh_l
+
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        for ref in dw_refs:
+            ref[...] = jnp.zeros(ref.shape, ref.dtype)
+
+    for ref, val in zip(dw_refs, dwg + dwl):
+        ref[...] += val
 
 
 def _spec_full(shape):
@@ -507,6 +572,54 @@ def _grad_shape(shape):
     return (1,) + shape if len(shape) == 1 else shape
 
 
+def _pair_bwd_bb(B, nx, K, H, dtw, V):
+    """Batch block for the fused pair backward (0 = doesn't fit -> the
+    two-single-kernel fallback). "seq": the kernel's recompute ordering
+    keeps one layer's intermediates live at a time."""
+    return _pick_bb(B, nx, K, H, dtw, V, backward=True, pair="seq")
+
+
+def _pair_bwd_call(h, u, px, v, ega, Wg, Wl, g, *, bb, interpret, mm,
+                   storage=False):
+    """Fused pair backward pallas_call: one kernel for both layers + the
+    combine backward. Returns (dh, gate 12-tuple grads, layer 12-tuple)."""
+    B, nx, H = h.shape
+    E, G, A = ega
+    h, u, px, v, E, G, A, Wg, Wl = _cast_tree(
+        storage, h, u, px, v, E, G, A, Wg, Wl)
+    kernel = functools.partial(_pair_bwd_kernel, bb=bb, nx=nx, mm=mm)
+    out_shapes = [jax.ShapeDtypeStruct((B * nx, H), g.dtype)] + [
+        jax.ShapeDtypeStruct(_grad_shape(w.shape), jnp.float32)
+        for w in Wg + Wl
+    ]
+    out_specs = [_spec_rows(bb * nx, (H,))] + [
+        _spec_full(_grad_shape(w.shape)) for w in Wg + Wl
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B // bb,),
+        in_specs=[
+            _spec_rows(bb * nx, h.shape[2:]),
+            _spec_rows(bb * nx, u.shape[2:]),
+            _spec_rows(bb * nx, px.shape[2:]),
+            _spec_rows(bb * nx, v.shape[2:]),
+            _spec_full(E.shape),
+            _spec_full(G.shape),
+            _spec_full(A.shape),
+        ]
+        + [_spec_full(w.shape) for w in Wg]
+        + [_spec_full(w.shape) for w in Wl]
+        + [_spec_rows(bb * nx, (H,))],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+    )(_flatten2d(h), _flatten2d(u), _flatten2d(px), _flatten2d(v), E, G, A,
+      *Wg, *Wl, _flatten2d(g))
+    dh = outs[0].reshape(B, nx, H)
+    dws = tuple(dw.reshape(w.shape) for dw, w in zip(outs[1:], Wg + Wl))
+    return dh, dws[:12], dws[12:]
+
+
 @functools.lru_cache(maxsize=None)
 def make_fused_pair(interpret: bool, mm_dtype: str = "float32"):
     """Build the custom-VJP fused gated PAIR for a static config.
@@ -516,15 +629,17 @@ def make_fused_pair(interpret: bool, mm_dtype: str = "float32"):
     (final_act=False, residual=False — the gated configuration,
     models_gnn.py:1220-1377); the gate combine is fused in VMEM.
 
-    Backward: the forward kernel also emits the normalized pre-combine
-    outputs gn/ln; the VJP differentiates the combine elementwise in XLA
-    (fuses into neighbors) and reuses the single-layer backward kernel per
-    layer. One kernel recomputing BOTH layers' intermediates would need
-    ~2x the single-layer VMEM and does not fit at production shapes.
+    Backward: ONE fused kernel recomputes both layers' intermediates and
+    differentiates the combine in VMEM (inputs stream once, no gn/ln stash
+    traffic) whenever its ~2x working set has an admissible batch block;
+    otherwise the forward stashes gn/ln and the VJP falls back to the
+    combine backward in XLA + the single-layer backward kernel per layer.
+    The choice is static per shapes, made from the same vmem_estimate that
+    picks the blocks.
     """
     mm, storage = _parse_mm(mm_dtype)
 
-    def _run_fwd(h, u, px, v, ega, Wg, Wl):
+    def _run_fwd(h, u, px, v, ega, Wg, Wl, stash):
         B, nx, H = h.shape
         out_dtype = h.dtype
         E, G, A = ega
@@ -535,10 +650,12 @@ def make_fused_pair(interpret: bool, mm_dtype: str = "float32"):
             _pick_bb(B, nx, K, H, u.shape[-1], v.shape[-1], backward=False,
                      pair=True),
             "pair forward")
-        kernel = functools.partial(_pair_fwd_kernel, bb=bb, nx=nx, mm=mm)
+        kernel = functools.partial(_pair_fwd_kernel, bb=bb, nx=nx,
+                                   stash=stash, mm=mm)
         row_spec = _spec_rows(bb * nx, (H,))
         row_shape = jax.ShapeDtypeStruct((B * nx, H), out_dtype)
-        out, gn, ln = pl.pallas_call(
+        n_out = 3 if stash else 1
+        outs = pl.pallas_call(
             kernel,
             grid=(B // bb,),
             in_specs=[
@@ -552,26 +669,44 @@ def make_fused_pair(interpret: bool, mm_dtype: str = "float32"):
             ]
             + [_spec_full(w.shape) for w in Wg]
             + [_spec_full(w.shape) for w in Wl],
-            out_specs=(row_spec, row_spec, row_spec),
-            out_shape=(row_shape, row_shape, row_shape),
+            out_specs=(row_spec,) * n_out,
+            out_shape=(row_shape,) * n_out,
             interpret=interpret,
         )(_flatten2d(h), _flatten2d(u), _flatten2d(px), _flatten2d(v),
           E, G, A, *Wg, *Wl)
         reshape = lambda x: x.reshape(B, nx, H)
-        return reshape(out), reshape(gn), reshape(ln)
+        if stash:
+            return reshape(outs[0]), reshape(outs[1]), reshape(outs[2])
+        return reshape(outs[0]), None, None
+
+    def _bwd_blocking(h, u, v, ega):
+        B, nx, H = h.shape
+        K = ega[0].shape[0] // nx
+        return _pair_bwd_bb(B, nx, K, H, u.shape[-1], v.shape[-1])
 
     @jax.custom_vjp
     def fused(h, u, px, v, ega, Wg, Wl):
-        out, _, _ = _run_fwd(h, u, px, v, ega, Wg, Wl)
+        out, _, _ = _run_fwd(h, u, px, v, ega, Wg, Wl, stash=False)
         return out
 
     def fwd(h, u, px, v, ega, Wg, Wl):
-        out, gn, ln = _run_fwd(h, u, px, v, ega, Wg, Wl)
+        # stash gn/ln only when the fused pair backward can't run
+        stash = _bwd_blocking(h, u, v, ega) == 0
+        out, gn, ln = _run_fwd(h, u, px, v, ega, Wg, Wl, stash=stash)
         return out, (h, u, px, v, ega, Wg, Wl, gn, ln)
 
     def bwd(res, g):
         h, u, px, v, ega, Wg, Wl, gn, ln = res
-        # combine h' = (1-tau)*h + tau*swish(ln), tau = sigmoid(gn)
+        zeros = lambda t: jax.tree.map(jnp.zeros_like, t)
+        bb = _bwd_blocking(h, u, v, ega)
+        if bb > 0:
+            dh, dwg, dwl = _pair_bwd_call(
+                h, u, px, v, ega, Wg, Wl, g, bb=bb, interpret=interpret,
+                mm=mm, storage=storage,
+            )
+            return (dh, zeros(u), zeros(px), zeros(v), zeros(ega), dwg, dwl)
+        # fallback: combine backward in XLA + single-layer kernels
+        # (h' = (1-tau)*h + tau*swish(ln), tau = sigmoid(gn))
         tau = jax.nn.sigmoid(gn)
         dgn = g * (_swish(ln) - h) * tau * (1.0 - tau)
         dln = g * tau * _dswish(ln)
@@ -584,7 +719,6 @@ def make_fused_pair(interpret: bool, mm_dtype: str = "float32"):
                                     interpret=interpret, mm=mm,
                                     storage=storage)
         dh = g * (1.0 - tau) + dh_g + dh_l
-        zeros = lambda t: jax.tree.map(jnp.zeros_like, t)
         return (dh, zeros(u), zeros(px), zeros(v), zeros(ega), dwg, dwl)
 
     fused.defvjp(fwd, bwd)
@@ -612,19 +746,24 @@ def fused_mp_layer(h, u, px, v, ega, W, *, final_act: bool, residual: bool,
 
 def vmem_estimate(nx: int, K: int, H: int, dtw: int, V: int,
                   bb: int = 1, backward: bool = True,
-                  pair: bool = False) -> int:
+                  pair=False) -> int:
     """Rough per-grid-step VMEM footprint in bytes (f32): edge tensors
     dominate; used to gate the pallas path on large shapes and to pick the
-    batch-block size. ``pair`` doubles the per-layer buffers (the fused
-    gated layer+gate pair keeps both layers' intermediates resident)."""
+    batch-block size. ``pair=True`` doubles the per-layer buffers (the
+    fused pair FORWARD keeps both layers' intermediates resident);
+    ``pair="seq"`` is the fused pair BACKWARD, whose recompute ordering
+    keeps only ONE layer's intermediates live at a time (_pair_bwd_kernel)
+    — a single layer's backward set plus both weight sets and a handful of
+    combine-term node buffers."""
     edges = nx * K
     n_edge = 8 if backward else 4        # m0/m1/z2/m2 (+ grads in bwd)
-    lay = 2 if pair else 1
+    lay = 2 if pair is True else 1
     edge_bufs = lay * n_edge * bb * edges * H
     node_bufs = lay * (14 if backward else 10) * bb * nx * H
     mats = 2 * edges * nx + nx * edges   # E, G, A
-    weights = lay * (2 if backward else 1) * (
-        2 * H * H + (2 * H + V) * H + H * H + (dtw + 1 + V) * H
-    )
-    return 4 * (edge_bufs + node_bufs + mats + weights
+    w_one = 2 * H * H + (2 * H + V) * H + H * H + (dtw + 1 + V) * H
+    w_lay = 2 if (pair == "seq" or pair is True) else 1
+    weights = w_lay * (2 if backward else 1) * w_one
+    extra = 6 * bb * nx * H if pair == "seq" else 0  # gn/tau/dgn/dh_l/...
+    return 4 * (edge_bufs + node_bufs + mats + weights + extra
                 + bb * nx * (dtw + V + 1))

@@ -243,3 +243,50 @@ def test_fused_pair_model_parity():
         )
 
     jax.tree_util.tree_map_with_path(check, grads[0], grads[1])
+
+
+def test_pair_bwd_fused_vs_fallback(monkeypatch):
+    """The fused pair backward kernel (_pair_bwd_kernel, one launch for
+    both layers + the combine) and the two-single-kernel fallback (taken
+    when its blocking doesn't fit VMEM) must produce identical gradients.
+    The fallback is forced by monkeypatching the blocking to 0, which also
+    flips the forward into its gn/ln-stash mode."""
+    from msmp_pde_tpu.ops import mp_pallas
+
+    h, u, px, v, idx, mask = _inputs(nx=24, B=2, H=32)
+    ega = edge_matrices(idx, mask)
+    rng = np.random.default_rng(7)
+
+    def make_w(key, H, dtw, V):
+        ks = jax.random.split(key, 12)
+        shapes = [(H, H), (H, H), (dtw, H), (1, H), (V, H), (H,),
+                  (H, H), (H,), (2 * H + V, H), (H,), (H, H), (H,)]
+        return tuple(
+            (0.1 * jax.random.normal(k, s)).astype(jnp.float32)
+            for k, s in zip(ks, shapes)
+        )
+
+    Wg = make_w(jax.random.PRNGKey(1), 32, 10, 2)
+    Wl = make_w(jax.random.PRNGKey(2), 32, 10, 2)
+    r = jnp.asarray(rng.normal(size=h.shape).astype(np.float32))
+
+    def loss(h, Wg, Wl):
+        out = mp_pallas.fused_gated_pair(h, u, px[..., None], v, ega, Wg, Wl,
+                                         interpret=True)
+        return jnp.sum(out * r)
+
+    grads = {}
+    for mode in ("fused", "fallback"):
+        mp_pallas.make_fused_pair.cache_clear()
+        if mode == "fallback":
+            monkeypatch.setattr(mp_pallas, "_pair_bwd_bb",
+                                lambda *a, **k: 0)
+        else:
+            monkeypatch.undo()
+        grads[mode] = jax.grad(loss, argnums=(0, 1, 2))(h, Wg, Wl)
+    mp_pallas.make_fused_pair.cache_clear()
+
+    for gf, gb in zip(jax.tree.leaves(grads["fused"]),
+                      jax.tree.leaves(grads["fallback"])):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gb),
+                                   rtol=1e-5, atol=1e-5)
