@@ -74,6 +74,15 @@ RUNS = {
     "train_MSWG3_LEM2D.log": ("MSWG3", "LEM2D", "pure-recurrent, no GNN"),
     "train_MSWG3_LSTM2D.log": ("MSWG3", "LSTM2D", "pure-recurrent, no GNN"),
     "train_MSWG3_torchref.log": ("MSWG3", "MSMP-PDE2D", "trained on torch-reference-generated data"),
+    # round-4 queue (tpu_queue_r4a.sh)
+    "train_KS_20ep.log": ("KS", "MSMP-PDE", "reference 20-epoch schedule; chaotic — see short-horizon"),
+    "train_E1_MPPDE_s2.log": ("E1", "MP-PDE", "seed 2 (noise estimate)"),
+    "train_E1_Gated_s2.log": ("E1", "Gated", "seed 2 (noise estimate)"),
+    "train_E1_MSMP_s2.log": ("E1", "MSMP-PDE", "seed 2 (noise estimate)"),
+    "train_MSWG3_MSMP2D_s1.log": ("MSWG3", "MSMP-PDE2D", "seed 1 (noise estimate)"),
+    "train_MSWG3_MSMP2D_s2.log": ("MSWG3", "MSMP-PDE2D", "seed 2 (noise estimate)"),
+    "train_MSWG3_MSG2_s1.log": ("MSWG3", "MSG2-PDE2D", "seed 1 (noise estimate)"),
+    "train_MSWG3_MSG2_s2.log": ("MSWG3", "MSG2-PDE2D", "seed 2 (noise estimate)"),
 }
 
 TASK_ORDER = ["E1", "E2", "E3", "kdv", "WE1", "WE2", "WE3", "KF", "KS",
@@ -138,6 +147,52 @@ def harvest(log_dir="experiments/log"):
     return rows, pending, unknown
 
 
+# seed-0 base log per replicate group (several non-seed rows can share a
+# (task, model) — e.g. torch-data and ablation rows — so the base is named
+# explicitly)
+SEED_BASE = {
+    ("E1", "MP-PDE"): "train_E1_MPPDE.log",
+    ("E1", "Gated"): "train_E1_Gated.log",
+    ("E1", "LSTMGated"): "train_E1_LSTMGated.log",
+    ("E1", "MSMP-PDE"): "train_E1_pair.log",
+    ("MSWG3", "MSMP-PDE2D"): "train_MSWG3.log",
+    ("MSWG3", "MSG2-PDE2D"): "train_MSWG3_MSG2.log",
+}
+
+
+def seed_spread(rows):
+    """Mean ± std across seed replicates: groups a model's seed-N rows
+    ("seed" in the note) with its seed-0 base row (SEED_BASE) on the same
+    task. Returns markdown lines (empty when no group has >= 2 seeds)."""
+    import statistics
+
+    groups = {}
+    for task, model, note, val, test, mins, base in rows:
+        if "seed" in note:
+            groups.setdefault((task, model), {})[note] = test
+    lines = []
+    for (task, model), seeds in sorted(groups.items()):
+        base_log = SEED_BASE.get((task, model))
+        base_row = [r for r in rows if r[6] == base_log]
+        tests = sorted(seeds.values())
+        if base_row:
+            tests = [base_row[0][4]] + tests
+        if len(tests) < 2:
+            continue
+        mu = statistics.mean(tests)
+        sd = statistics.stdev(tests)
+        lines.append(
+            f"| {task} | {model} | {len(tests)} | {mu:.2f}% ± {sd:.2f}pp "
+            f"| {min(tests):.2f}–{max(tests):.2f}% |"
+        )
+    if not lines:
+        return []
+    return ["", "**Seed spread** (test rel L2 across seeds, incl. the "
+            "seed-0 master-table row):", "",
+            "| task | model | seeds | mean ± std | range |",
+            "|---|---|---|---|---|"] + lines
+
+
 def render(rows, pending):
     out = [BEGIN,
            "",
@@ -148,6 +203,7 @@ def render(rows, pending):
         wall = f"{mins:.0f} min" if mins == mins else "—"
         out.append(f"| {task} | {model} | {v} | **{test:.2f}%** | "
                    f"{wall} | {note} |")
+    out.extend(seed_spread(rows))
     if pending:
         out.append("")
         out.append("In flight / not yet recorded: " + ", ".join(
