@@ -373,8 +373,16 @@ def _pick_bb(B, nx, K, H, dtw, V, backward, pair=False):
     to be a multiple of 8 unless the block spans the whole array, so only
     such bb are admissible. Returns 0 when NO admissible divisor fits —
     callers must fall back to the XLA path (auto mode gates on this via
-    ``pallas_feasible``)."""
-    budget = 10 * 2**20
+    ``pallas_feasible``).
+
+    MSMP_PALLAS_VMEM_BUDGET_MB overrides the 10 MB estimate budget — pair
+    it with XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=<larger> to A/B
+    bigger batch blocks (fewer sequential grid steps) against the default
+    16 MB scoped-VMEM compile limit."""
+    import os
+
+    budget = int(float(os.environ.get("MSMP_PALLAS_VMEM_BUDGET_MB", "10"))
+                 * 2**20)
     for bb in range(min(B, 8), 0, -1):
         if B % bb:
             continue
