@@ -171,7 +171,7 @@ def main():
         flops_per_pass = float(compiled.cost_analysis()["flops"])
     except Exception as e:  # cost_analysis availability differs per backend
         flops_per_pass = None
-        print(f"# cost_analysis unavailable: {e!r}")
+        print(f"# cost_analysis unavailable: {e!r}", file=sys.stderr)
     if flops_per_pass and np.isfinite(flops_per_pass) and flops_per_pass > 0:
         sustained = flops_per_pass / (dt / n_passes)
         flops_per_step = flops_per_pass / n_steps
@@ -305,11 +305,34 @@ def _save_cache(result: dict) -> None:
     os.replace(tmp, CACHE_PATH)
 
 
+def _arm_run_watchdog(run_budget_s: float) -> None:
+    """A wedged device RPC mid-bench hangs without raising (the observed
+    tunnel failure mode: threads futex-blocked, no exception) — the
+    except-clause below never fires and the driver would get rc=124 with
+    no output. This daemon thread emits the cache and hard-exits instead."""
+    import threading
+
+    def fire():
+        _emit_cached(f"bench run exceeded {run_budget_s:.0f}s "
+                     "(wedged backend?)")
+        sys.stdout.flush()
+        os._exit(0)
+
+    t = threading.Timer(run_budget_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 if __name__ == "__main__":
-    budget = float(os.environ.get("MSMP_BENCH_WAIT_S", "300"))
+    # default 600 s: the chip takes up to ~6 min to release after a heavy
+    # queue stage exits; still bounded far below the driver window (the
+    # round-3 failure was an UNBOUNDED 30x60s re-exec loop).
+    budget = float(os.environ.get("MSMP_BENCH_WAIT_S", "600"))
     if not _probe_backend(budget):
         _emit_cached(f"backend did not initialize within {budget:.0f}s")
         sys.exit(0)
+    wd = _arm_run_watchdog(float(os.environ.get("MSMP_BENCH_RUN_S", "1500")))
     try:
         result = main()
     except RuntimeError as e:
@@ -319,5 +342,10 @@ if __name__ == "__main__":
             _emit_cached(f"backend lost mid-run: {msg[:120]}")
             sys.exit(0)
         raise
-    _save_cache(result)
+    wd.cancel()
+    # print FIRST: a cache-write failure must not discard a good run
     print(json.dumps(result))
+    try:
+        _save_cache(result)
+    except OSError as e:
+        print(f"# cache save failed: {e!r}", file=sys.stderr)

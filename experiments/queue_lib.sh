@@ -58,3 +58,23 @@ run_if_incomplete() {
   fi
   run "$@"
 }
+
+# Block until the accelerator backend initializes (bounded probe per
+# attempt: a downed backend makes an in-process init hang ~25 min before
+# failing). Added round 4 — queues r4a/b/c carry an inline copy because
+# they were already RUNNING when this landed (never edit a running bash
+# script); every future queue should use this one.
+backend_gate() {
+  while true; do
+    if timeout 1800 python - <<'PYEOF' 2>&1 | grep -q BACKEND_UP
+import jax
+print("BACKEND_UP", jax.devices())
+PYEOF
+    then
+      echo "=== $(date +%H:%M:%S) backend gate: UP ==="
+      return 0
+    fi
+    echo "=== $(date +%H:%M:%S) backend gate: still down ==="
+    sleep 30
+  done
+}

@@ -268,6 +268,15 @@ class MPSolver(nn.Module):
         # round-3 A/B). Static-shape decision — made once here, alongside
         # _resolve_ega's single-layer decision, shared by every layer.
         use_pair = False
+        if self.mp_impl == "pallas_pair" and (
+                ungated or self.gate != "sigmoid" or self.layer_type != "mp"):
+            # the pair kernel only exists for the sigmoid-gated MP loop; a
+            # FORCED mode on any other config must not silently measure a
+            # different path
+            raise ValueError(
+                "mp_impl=pallas_pair requires a sigmoid-gated MP model "
+                f"(gate={self.gate!r}, layer_type={self.layer_type!r})"
+            )
         if (not ungated and ega is not None and self.gate == "sigmoid"
                 and self.mp_impl in ("pallas_pair", "auto")):
             from msmp_pde_tpu.ops.mp_pallas import pallas_feasible

@@ -26,6 +26,7 @@ import json
 import sys
 import threading
 import zipfile
+import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -179,7 +180,7 @@ def make_handler(engine, meta, max_windows: int = 64,
                 stats.ok(int(window.shape[0]), n_windows,
                          _time.perf_counter() - t0)
             except (ValueError, KeyError, TypeError, IndexError,
-                    zipfile.BadZipFile) as e:
+                    zipfile.BadZipFile, zlib.error, EOFError) as e:
                 # malformed inputs surface as these (incl. jax trace shape
                 # errors, which raise TypeError/ValueError); a closed socket
                 # (what an uncaught exception produces here) is strictly

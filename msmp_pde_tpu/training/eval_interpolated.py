@@ -29,26 +29,6 @@ import os
 import numpy as np
 
 
-def interp_rollout_to_unstructured(preds, x_uniform, x_unstructured):
-    """Interpolate stacked rollout predictions [N, T, d, nx_u] from the
-    uniform grid onto the unstructured grid -> [N, T, d, nx_r] (the
-    per-prediction scipy loop at eval_interpolated.py:80-86, vectorized
-    through ops/interp.py::interp1d)."""
-    import jax.numpy as jnp
-
-    from msmp_pde_tpu.ops.interp import interp1d
-
-    xu = jnp.asarray(x_uniform)
-    xr = jnp.asarray(x_unstructured)
-    flat = jnp.asarray(preds.reshape(-1, preds.shape[-1]))
-    onto = interp1d(
-        jnp.broadcast_to(xu[None], flat.shape),
-        flat,
-        jnp.broadcast_to(xr[None], (flat.shape[0], xr.shape[0])),
-    )
-    return np.asarray(onto).reshape(preds.shape[:-1] + (xr.shape[0],))
-
-
 def plot_interp_back(preds_u, trues_u, x_unstructured, out_dir="plots",
                      dpi=400):
     """Unstructured-grid comparison figure for the interpolated route:
@@ -170,7 +150,7 @@ def main(args):
     start = args.time_window * args.nr_gt_steps
     # AD datasets are [N, nt, d, nx] (data/dataset.py:144-146)
     trues_r = np.asarray(ds_unstruct.u_super)[:, start : start + horizon]
-    preds_r = interp_rollout_to_unstructured(
+    preds_r = metrics.interp_rollout_to_unstructured(
         np.asarray(preds[:, :horizon]), ds_uniform.x, ds_unstruct.x
     )
     plot_interp_back(preds_r, trues_r, ds_unstruct.x)

@@ -142,9 +142,12 @@ def test_timestep_losses(trainer: Trainer, params, u_all, var_all,
 
 
 def _rollout_collect(trainer: Trainer, params, u_traj, variables,
-                     nr_gt_steps: int, t_res: int):
+                     nr_gt_steps: int, t_res: int, max_windows: int = 0):
     """Shared rollout: returns per-step (pred, labels) stacked [S, B, nx, dtw].
-    Window advance semantics follow train_helper.py:255-259."""
+    Window advance semantics follow train_helper.py:255-259.
+    max_windows > 0 stops after that many prediction windows (the
+    short-horizon metric) instead of rolling the full horizon and
+    discarding the tail."""
     tw = trainer.tw
     B = u_traj.shape[0]
     start = tw * nr_gt_steps
@@ -153,6 +156,8 @@ def _rollout_collect(trainer: Trainer, params, u_traj, variables,
     pred, state = trainer.forward(params, window, steps0, variables)
     preds, labs = [pred], [labels]
     step_vals = list(range(tw * (nr_gt_steps + 1), t_res - tw + 1, tw))
+    if max_windows:
+        step_vals = step_vals[: max_windows - 1]
     steps = steps0
     for sv in step_vals:
         steps = steps + tw
@@ -277,6 +282,25 @@ def compute_space_l2_norms(preds: np.ndarray, trues: np.ndarray, log=print):
     return l, l / m
 
 
+def interp_rollout_to_unstructured(preds, x_uniform, x_unstructured):
+    """Interpolate stacked rollout predictions [N, T, d, nx_u] from the
+    uniform grid onto the unstructured grid -> [N, T, d, nx_r] (the
+    per-prediction scipy loop at eval_interpolated.py:80-86, vectorized
+    through ops/interp.py::interp1d). Shared by the interp-back metric and
+    the interp-back comparison figure so the two can't drift apart."""
+    from msmp_pde_tpu.ops.interp import interp1d
+
+    xu = jnp.asarray(x_uniform)
+    xr = jnp.asarray(x_unstructured)
+    flat = jnp.asarray(np.asarray(preds).reshape(-1, preds.shape[-1]))
+    onto = interp1d(
+        jnp.broadcast_to(xu[None], flat.shape),
+        flat,
+        jnp.broadcast_to(xr[None], (flat.shape[0], xr.shape[0])),
+    )
+    return np.asarray(onto).reshape(preds.shape[:-1] + (xr.shape[0],))
+
+
 def compute_l2_norms_u(trainer: Trainer, params, u_uniform, var_all,
                        u_unstructured, x_uniform, x_unstructured,
                        batch_size: int, nr_gt_steps: int, t_res: int,
@@ -285,8 +309,6 @@ def compute_l2_norms_u(trainer: Trainer, params, u_uniform, var_all,
     model on the *uniform-grid* (interpolated) dataset, interpolate each
     prediction back onto the unstructured grid and measure against the
     unstructured ground truth."""
-    from msmp_pde_tpu.ops.interp import interp1d
-
     preds, _ = rollout_store(trainer, params, u_uniform, var_all, batch_size,
                              nr_gt_steps, t_res)
     # targets from the unstructured data, same window layout
@@ -294,15 +316,8 @@ def compute_l2_norms_u(trainer: Trainer, params, u_uniform, var_all,
     n, T = preds.shape[0], preds.shape[1]
     start = tw * nr_gt_steps
     trues = np.asarray(u_unstructured)[:, start : start + T]  # [N, T, d, nx]
-    xu = jnp.asarray(x_uniform)
-    xr = jnp.asarray(x_unstructured)
-    flat = jnp.asarray(preds.reshape(-1, preds.shape[-1]))
-    onto = interp1d(
-        jnp.broadcast_to(xu[None], flat.shape),
-        flat,
-        jnp.broadcast_to(xr[None], flat.shape),
-    )
-    preds_u = np.asarray(onto).reshape(preds.shape)
+    preds_u = interp_rollout_to_unstructured(preds, x_uniform,
+                                             x_unstructured)
     sq_err = np.sum((preds_u - trues) ** 2, axis=2)
     sq_norm = np.sum(trues**2, axis=2)
     l = np.sqrt(np.mean(sq_err, axis=(1, 2))).mean()
@@ -327,9 +342,8 @@ def compute_l2_norms(trainer: Trainer, params, u_all, var_all,
 
     def one(params, u_traj, variables):
         preds, labs = _rollout_collect(trainer, params, u_traj, variables,
-                                       nr_gt_steps, t_res)
-        if max_windows:
-            preds, labs = preds[:max_windows], labs[:max_windows]
+                                       nr_gt_steps, t_res,
+                                       max_windows=max_windows)
         # [S, B, nx, d*tw] -> [B, S*tw, d, nx]
         S, B, nx, _ = preds.shape
 

@@ -46,6 +46,11 @@ def _running_as_cli() -> bool:
     spec = getattr(__main__, "__spec__", None)
     if spec is not None and spec.name in _CLI_MODULES:
         return True
+    # launched by file path (python .../train.py): __spec__ is None but
+    # argv replay is equally safe — _stall_recovery re-execs sys.argv[0]
+    if spec is None and os.path.basename(sys.argv[0]) in ("train.py",
+                                                          "cv.py"):
+        return True
     return os.environ.get("MSMP_WATCHDOG_FORCE", "") == "1"
 
 
