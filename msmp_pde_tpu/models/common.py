@@ -120,26 +120,40 @@ def temporal_residual_decode(h, u_window, dt: float, tw: int,
 
 # Decoder CNN configs per time window (models_gnn.py:210-224): maps the
 # hidden vector (treated as a length-H signal) to exactly tw outputs.
+# The second conv's kernel is derived from the first conv's output length
+# (k2 = L1 - tw + 1, stride 1) so the decoder works at any hidden width;
+# at the reference hidden=128 this reproduces the reference's k2 exactly
+# (tw=20 -> 10, tw=25 -> 14, tw=50 -> 10).
 DECODER_CONV = {
-    20: ((8, 15, 4), (1, 10, 1)),
-    25: ((8, 16, 3), (1, 14, 1)),
-    50: ((8, 12, 2), (1, 10, 1)),
+    20: (8, 15, 4),
+    25: (8, 16, 3),
+    50: (8, 12, 2),
 }
 
 
 class WindowDecoder(nn.Module):
     """The reference's two-conv decoder; out_channels generalizes to
-    2-component systems (models_gnn2D.py:79-88)."""
+    2-component systems (models_gnn2D.py:79-88) and the conv arithmetic
+    to any hidden width (the reference hardcodes hidden=128)."""
 
     tw: int
     out_channels: int = 1
 
     @nn.compact
     def __call__(self, x):
-        (c1, k1, s1), (_, k2, s2) = DECODER_CONV[self.tw]
+        c1, k1, s1 = DECODER_CONV[self.tw]
+        H = x.shape[-1]
+        L1 = (H - k1) // s1 + 1
+        k2 = L1 - self.tw + 1
+        if k2 < 1:
+            raise ValueError(
+                f"hidden width {H} too small for the tw={self.tw} decoder "
+                f"(first conv leaves {L1} < tw positions); need H >= "
+                f"{k1 + s1 * (self.tw - 1)}"
+            )
         x = TorchConv1d(features=c1, kernel_size=k1, stride=s1)(x)
         x = swish(x)
-        x = TorchConv1d(features=self.out_channels, kernel_size=k2, stride=s2)(x)
+        x = TorchConv1d(features=self.out_channels, kernel_size=k2, stride=1)(x)
         return x
 
 

@@ -314,3 +314,30 @@ def test_vno_real_arithmetic_matches_complex_oracle():
     ours = (mr @ c.T) - (mi @ s.T)
 
     np.testing.assert_allclose(ours, oracle, rtol=1e-12, atol=1e-12)
+
+
+def test_window_decoder_width_general():
+    """WindowDecoder must emit exactly tw outputs at ANY hidden width
+    (PERF.md §4 width scaling), with the derived second-conv kernel
+    reproducing the reference's hardcoded k2 at hidden=128
+    (models_gnn.py:210-224: tw=20 -> 10, tw=25 -> 14, tw=50 -> 10), and
+    raise below the feasible minimum width."""
+    import jax
+    import pytest
+
+    from msmp_pde_tpu.models.common import DECODER_CONV, WindowDecoder
+
+    ref_k2 = {20: 10, 25: 14, 50: 10}
+    for tw, (c1, k1, s1) in DECODER_CONV.items():
+        L1 = (128 - k1) // s1 + 1
+        assert L1 - tw + 1 == ref_k2[tw]
+        for H in (128, 164, 256, 512):
+            dec = WindowDecoder(tw=tw, out_channels=1)
+            x = jnp.zeros((2, 5, 1, H), jnp.float32)
+            params = dec.init(jax.random.PRNGKey(0), x)
+            out = dec.apply(params, x)
+            assert out.shape == (2, 5, 1, tw)
+
+    with pytest.raises(ValueError, match="too small"):
+        dec = WindowDecoder(tw=25, out_channels=1)
+        dec.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 1, 64), jnp.float32))
