@@ -155,26 +155,36 @@ def main():
 
     samples_per_sec = n_passes * n_steps * B / dt
 
-    # MFU from XLA's own cost model: FLOPs of the whole fused pass
-    # (n_steps optimizer steps incl. pushforward fwd+bwd+AdamW), divided by
-    # the measured wall-clock per pass. cost_analysis cannot see inside
-    # Pallas custom calls, so the FLOPs come from lowering the
-    # mathematically identical mp_impl="xla" pass (same model function,
-    # all ops visible to XLA); the wall-clock stays the production
+    # MFU from XLA's own cost model. CRITICAL METHOD NOTE: cost_analysis
+    # counts a lax.scan body ONCE regardless of trip count (verified:
+    # identical "flops" for 2- and 4-step passes), so lowering the scanned
+    # pass and dividing by n_steps understates FLOPs by ~n_steps — the bug
+    # behind the r3-cached 0.18% figure. Instead we lower the SINGLE
+    # optimizer step at each pushforward depth (the model's internal LEM/
+    # LSTM scans are unroll=True, so nothing inside is trip-undercounted)
+    # and weight by the measured flag mix. cost_analysis cannot see inside
+    # Pallas custom calls, so the FLOPs come from the mathematically
+    # identical mp_impl="xla" lowering; the wall-clock stays the production
     # (Pallas) measurement.
     try:
         trainer_x = _make_trainer(tw=tw, nx=nx, n_layers=6, mp_impl="xla")
         params_x = trainer_x.init_params(jax.random.PRNGKey(0), batch_size=B)
-        fn_x = trainer_x.train_pass_fn(tx, max_unroll=1)
-        compiled = fn_x.lower(params_x, tx.init(params_x), u_all, var_all,
-                              idx, steps, flags).compile()
-        flops_per_pass = float(compiled.cost_analysis()["flops"])
+        idx1, steps1 = idx[0], steps[0]
+        step_flops = {}
+        for u in (0, 1):
+            fn_u = trainer_x.train_step_fn(tx, unrolled=u)
+            compiled = fn_u.lower(params_x, tx.init(params_x), u_all,
+                                  var_all, idx1, steps1).compile()
+            step_flops[u] = float(compiled.cost_analysis()["flops"])
+        # empirical pushforward-flag mix over the timed inputs
+        all_flags = np.concatenate([np.asarray(f) for _, _, f in inputs])
+        p1 = float(all_flags.mean())
+        flops_per_step = (1.0 - p1) * step_flops[0] + p1 * step_flops[1]
     except Exception as e:  # cost_analysis availability differs per backend
-        flops_per_pass = None
+        flops_per_step = None
         print(f"# cost_analysis unavailable: {e!r}", file=sys.stderr)
-    if flops_per_pass and np.isfinite(flops_per_pass) and flops_per_pass > 0:
-        sustained = flops_per_pass / (dt / n_passes)
-        flops_per_step = flops_per_pass / n_steps
+    if flops_per_step and np.isfinite(flops_per_step) and flops_per_step > 0:
+        sustained = flops_per_step / (dt / (n_passes * n_steps))
         mfu_bf16 = round(100.0 * sustained / V5E_PEAK_BF16_FLOPS, 2)
         mfu_f32 = round(100.0 * sustained / V5E_PEAK_F32_FLOPS, 2)
     else:
