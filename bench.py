@@ -25,11 +25,15 @@ ratio is reported alongside.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Outage-proofing (round 4): the backend probe is BOUNDED (MSMP_BENCH_WAIT_S,
-default 300 s total, probed in killable subprocesses — a downed backend makes
-an in-process init attempt hang ~25 min). Every successful run persists its
-JSON to experiments/bench_cache.json; if the backend is down when the driver
-runs this script, the cache is emitted with "backend_down": true instead of
-timing out with no output at all.
+default 600 s total — the chip takes up to ~6 min to release after a heavy
+queue stage exits; probed in killable subprocesses because a downed backend
+makes an in-process init attempt hang ~25 min). Every successful run persists
+its JSON to experiments/bench_cache.json; if the backend is down when the
+driver runs this script, the cache is emitted with "backend_down": true
+instead of timing out with no output at all. A run watchdog
+(MSMP_BENCH_RUN_S, default 2100 s) bounds a mid-run tunnel wedge the same
+way; its message records the last milestone reached so a slow cold-cache
+compile is distinguishable from a wedge.
 """
 import json
 import os
@@ -44,9 +48,14 @@ CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 BASELINE_SAMPLES_PER_SEC = 533.0  # estimated A100 torch reference (see above)
 
+# run-watchdog progress marker (list so main() can mutate it in place);
+# a cold-cache compile advances milestones, a wedged tunnel does not.
+_MILESTONE = ["start"]
+
 # v5e datasheet peaks (jax-ml.github.io/scaling-book hardware tables)
 V5E_PEAK_BF16_FLOPS = 197e12
 V5E_PEAK_F32_FLOPS = 49.2e12
+V5E_HBM_BW = 819e9  # bytes/s
 
 # ESTIMATE-FREE secondary comparison: E1 datagen throughput. The torch
 # reference's own datagen (generate/generate_data.py, run unmodified via
@@ -142,6 +151,7 @@ def main():
     params, opt_state, losses = fn(params, opt_state, u_all, var_all, idx,
                                    steps, flags)
     losses.block_until_ready()
+    _MILESTONE[0] = "train pass compiled+warm"
 
     n_passes = 4
     inputs = [pass_inputs() for _ in range(n_passes)]
@@ -152,6 +162,7 @@ def main():
         )
     losses.block_until_ready()
     dt = time.perf_counter() - t0
+    _MILESTONE[0] = "throughput timed"
 
     samples_per_sec = n_passes * n_steps * B / dt
 
@@ -170,27 +181,37 @@ def main():
         trainer_x = _make_trainer(tw=tw, nx=nx, n_layers=6, mp_impl="xla")
         params_x = trainer_x.init_params(jax.random.PRNGKey(0), batch_size=B)
         idx1, steps1 = idx[0], steps[0]
-        step_flops = {}
+        step_flops, step_bytes = {}, {}
         for u in (0, 1):
             fn_u = trainer_x.train_step_fn(tx, unrolled=u)
             compiled = fn_u.lower(params_x, tx.init(params_x), u_all,
                                   var_all, idx1, steps1).compile()
-            step_flops[u] = float(compiled.cost_analysis()["flops"])
+            ca = compiled.cost_analysis()
+            step_flops[u] = float(ca["flops"])
+            step_bytes[u] = float(ca.get("bytes accessed", 0.0))
         # empirical pushforward-flag mix over the timed inputs
         all_flags = np.concatenate([np.asarray(f) for _, _, f in inputs])
         p1 = float(all_flags.mean())
         flops_per_step = (1.0 - p1) * step_flops[0] + p1 * step_flops[1]
+        bytes_per_step = (1.0 - p1) * step_bytes[0] + p1 * step_bytes[1]
     except Exception as e:  # cost_analysis availability differs per backend
-        flops_per_step = None
+        flops_per_step = bytes_per_step = None
         print(f"# cost_analysis unavailable: {e!r}", file=sys.stderr)
+    step_dt = dt / (n_passes * n_steps)
     if flops_per_step and np.isfinite(flops_per_step) and flops_per_step > 0:
-        sustained = flops_per_step / (dt / (n_passes * n_steps))
+        sustained = flops_per_step / step_dt
         mfu_bf16 = round(100.0 * sustained / V5E_PEAK_BF16_FLOPS, 2)
         mfu_f32 = round(100.0 * sustained / V5E_PEAK_F32_FLOPS, 2)
     else:
         flops_per_step = mfu_bf16 = mfu_f32 = None
+    if bytes_per_step and np.isfinite(bytes_per_step) and bytes_per_step > 0:
+        hbm_util = round(100.0 * (bytes_per_step / step_dt) / V5E_HBM_BW, 2)
+    else:
+        bytes_per_step = hbm_util = None
+    _MILESTONE[0] = "MFU lowered"
 
     datagen_sps = bench_datagen_e1()
+    _MILESTONE[0] = "datagen timed"
     # vs_baseline refers to the SAME quantity as "value" (train throughput,
     # vs the clearly-labeled A100 torch-reference ESTIMATE — the repo
     # publishes no numbers and its CUDA deps are not installable here).
@@ -218,6 +239,14 @@ def main():
             "Precision.DEFAULT = single bf16 MXU pass) and 49.2 f32"
         ),
         "flops_per_step": flops_per_step,
+        "bytes_per_step": bytes_per_step,
+        "hbm_util_pct": hbm_util,
+        "hbm_provenance": (
+            "cost_analysis() 'bytes accessed' of the mp_impl=xla lowering "
+            "on this backend / measured wall-clock / 819 GB/s v5e HBM; "
+            "the production Pallas kernels fuse away some of this "
+            "traffic, so it is an upper-bound traffic model"
+        ),
         "datagen_vs_torch_ref_measured": round(
             datagen_sps / TORCH_REF_DATAGEN_SAMPLES_PER_SEC_MEASURED, 2
         ),
@@ -324,7 +353,7 @@ def _arm_run_watchdog(run_budget_s: float) -> None:
 
     def fire():
         _emit_cached(f"bench run exceeded {run_budget_s:.0f}s "
-                     "(wedged backend?)")
+                     f"(wedged backend? last milestone: {_MILESTONE[0]})")
         sys.stdout.flush()
         os._exit(0)
 
@@ -342,7 +371,11 @@ if __name__ == "__main__":
     if not _probe_backend(budget):
         _emit_cached(f"backend did not initialize within {budget:.0f}s")
         sys.exit(0)
-    wd = _arm_run_watchdog(float(os.environ.get("MSMP_BENCH_RUN_S", "1500")))
+    # 2100 s: a cold compilation cache costs ~7 min for the train-pass
+    # compile alone through the tunnel, plus 4 more programs (2 MFU
+    # lowerings, 2 datagen solvers); the r4e queue runs bench first when
+    # the backend returns, so the driver-time run is normally warm-cache.
+    wd = _arm_run_watchdog(float(os.environ.get("MSMP_BENCH_RUN_S", "2100")))
     try:
         result = main()
     except RuntimeError as e:

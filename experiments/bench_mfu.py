@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 V5E_PEAK_BF16_FLOPS = 197e12
 V5E_PEAK_F32_FLOPS = 49.2e12
+V5E_HBM_BW = 819e9  # bytes/s
 
 
 def make_trainer(hidden: int, mp_impl: str, nx=100, tw=25, n_layers=6):
@@ -88,16 +89,28 @@ def bench_config(hidden: int, B: int, n_steps=64, n_passes=3):
     sps = n_passes * n_steps * B / dt
 
     # FLOPs from the mathematically identical all-XLA lowering
-    # (cost_analysis cannot see inside Pallas custom calls).
+    # (cost_analysis cannot see inside Pallas custom calls). Same method
+    # as bench.py: lower the SINGLE optimizer step at each pushforward
+    # depth and weight by the measured flag mix — cost_analysis counts a
+    # lax.scan body ONCE regardless of trip count, so lowering the scanned
+    # pass and dividing by n_steps understates FLOPs by ~n_steps.
     try:
         tr_x = make_trainer(hidden, "xla")
         params_x = tr_x.init_params(jax.random.PRNGKey(0), batch_size=B)
-        fn_x = tr_x.train_pass_fn(tx, max_unroll=1)
-        compiled = fn_x.lower(params_x, tx.init(params_x), u_all, {},
-                              i, s, f).compile()
-        flops_per_step = float(compiled.cost_analysis()["flops"]) / n_steps
+        step_flops, step_bytes = {}, {}
+        for u in (0, 1):
+            fn_u = tr_x.train_step_fn(tx, unrolled=u)
+            compiled = fn_u.lower(params_x, tx.init(params_x), u_all, {},
+                                  i[0], s[0]).compile()
+            ca = compiled.cost_analysis()
+            step_flops[u] = float(ca["flops"])
+            step_bytes[u] = float(ca.get("bytes accessed", 0.0))
+        all_flags = np.concatenate([np.asarray(f) for _, _, f in inputs])
+        p1 = float(all_flags.mean())
+        flops_per_step = (1.0 - p1) * step_flops[0] + p1 * step_flops[1]
+        bytes_per_step = (1.0 - p1) * step_bytes[0] + p1 * step_bytes[1]
     except Exception as e:
-        flops_per_step = None
+        flops_per_step = bytes_per_step = None
         print(f"# cost_analysis unavailable at hidden={hidden}: {e!r}",
               file=sys.stderr, flush=True)
 
@@ -106,10 +119,13 @@ def bench_config(hidden: int, B: int, n_steps=64, n_passes=3):
         mfu_bf16 = 100.0 * sustained / V5E_PEAK_BF16_FLOPS
         mfu_f32 = 100.0 * sustained / V5E_PEAK_F32_FLOPS
         gf = flops_per_step / 1e9
+        gb = (bytes_per_step or 0.0) / 1e9
+        hbm = 100.0 * (bytes_per_step or 0.0) / (ms_per_step / 1e3) / V5E_HBM_BW
         print(f"hidden={hidden:4d} B={B:4d} params={n_params/1e6:6.2f}M | "
               f"compile {compile_s:5.1f}s | {ms_per_step:8.3f} ms/step | "
               f"{sps:8.0f} samples/s | {gf:8.2f} GFLOP/step | "
-              f"MFU {mfu_bf16:5.2f}% bf16 / {mfu_f32:5.2f}% f32", flush=True)
+              f"MFU {mfu_bf16:5.2f}% bf16 / {mfu_f32:5.2f}% f32 | "
+              f"{gb:6.2f} GB/step HBM {hbm:5.1f}%", flush=True)
     else:
         print(f"hidden={hidden:4d} B={B:4d} params={n_params/1e6:6.2f}M | "
               f"compile {compile_s:5.1f}s | {ms_per_step:8.3f} ms/step | "

@@ -115,6 +115,16 @@ def main(args):
     var_all = {k: jnp.asarray(v.astype(np.float32))
                for k, v in ds_uniform.variables.items()}
 
+    # 0. the heaviest program — the full-horizon rollout over the test
+    #    set — runs exactly ONCE; every rollout-derived metric and figure
+    #    below reads this store (the one-step/unrolled losses are
+    #    different programs and still run themselves).
+    preds, trues = metrics.rollout_store(
+        trainer, params, u_uniform, var_all, args.batch_size,
+        args.nr_gt_steps, t_res, n_more_rollout=args.n_more_rollout,
+    )
+    horizon = preds.shape[1] - args.n_more_rollout * args.time_window
+
     # 1. the apples-to-apples interpolated-back metric (the unique
     #    capability of this CLI; eval_interpolated.py:27-146)
     print("**Interpolated-back L2 errors (test, unstructured grid)**")
@@ -122,6 +132,7 @@ def main(args):
         trainer, params, u_uniform, var_all,
         ds_unstruct.u_super, ds_uniform.x, ds_unstruct.x,
         args.batch_size, args.nr_gt_steps, t_res,
+        preds=preds[:, :horizon],
     )
 
     # 2. the standard battery on the interpolated (uniform-grid) route
@@ -131,15 +142,9 @@ def main(args):
     metrics.test_unrolled_losses(trainer, params, u_uniform, ub_uniform,
                                  var_all, args.batch_size, args.nr_gt_steps,
                                  t_res, nx_base)
-    metrics.compute_l2_norms(trainer, params, u_uniform, var_all,
-                             args.batch_size, args.nr_gt_steps, t_res)
+    metrics.l2_norms_from_store(preds[:, :horizon], trues[:, :horizon])
 
     # 3. figure set + (optional) beyond-horizon long rollout
-    preds, trues = metrics.rollout_store(
-        trainer, params, u_uniform, var_all, args.batch_size,
-        args.nr_gt_steps, t_res, n_more_rollout=args.n_more_rollout,
-    )
-    horizon = preds.shape[1] - args.n_more_rollout * args.time_window
     plot_rollouts(preds[:, :horizon], trues[:, :horizon],
                   np.asarray(spec_u.t_grid), np.asarray(ds_uniform.x),
                   data_family(args.experiment),

@@ -301,16 +301,38 @@ def interp_rollout_to_unstructured(preds, x_uniform, x_unstructured):
     return np.asarray(onto).reshape(preds.shape[:-1] + (xr.shape[0],))
 
 
+def l2_norms_from_store(preds: np.ndarray, trues: np.ndarray,
+                        log=print) -> Tuple[float, float]:
+    """Space-time L2 / relative L2 from an already-computed rollout store
+    ([N, T, d, nx] pairs as returned by ``rollout_store``) — the same
+    reduction as ``compute_l2_norms`` without re-rolling the model, for
+    callers that already hold the predictions (eval_interpolated runs the
+    heaviest program — the full-horizon rollout — exactly once and feeds
+    every metric and figure from it)."""
+    sq_err = np.sum((np.asarray(preds) - np.asarray(trues)) ** 2, axis=2)
+    sq_norm = np.sum(np.asarray(trues) ** 2, axis=2)
+    l = float(np.sqrt(np.mean(sq_err, axis=(1, 2))).mean())
+    m = float(np.sqrt(np.mean(sq_norm, axis=(1, 2))).mean())
+    log(f"L2 error {l}")
+    log(f"L2 relative error {100 * l / m} %")
+    return l, l / m
+
+
 def compute_l2_norms_u(trainer: Trainer, params, u_uniform, var_all,
                        u_unstructured, x_uniform, x_unstructured,
                        batch_size: int, nr_gt_steps: int, t_res: int,
-                       log=print):
+                       log=print, preds=None):
     """RPU apples-to-apples metric (eval_interpolated.py:27-146): roll out a
     model on the *uniform-grid* (interpolated) dataset, interpolate each
     prediction back onto the unstructured grid and measure against the
-    unstructured ground truth."""
-    preds, _ = rollout_store(trainer, params, u_uniform, var_all, batch_size,
-                             nr_gt_steps, t_res)
+    unstructured ground truth.
+
+    ``preds`` — optional precomputed rollout store ([N, T, d, nx_uniform],
+    horizon-only) to avoid re-rolling when the caller already ran
+    ``rollout_store`` on the same inputs."""
+    if preds is None:
+        preds, _ = rollout_store(trainer, params, u_uniform, var_all,
+                                 batch_size, nr_gt_steps, t_res)
     # targets from the unstructured data, same window layout
     tw, d = trainer.tw, trainer.d
     n, T = preds.shape[0], preds.shape[1]

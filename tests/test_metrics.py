@@ -101,3 +101,50 @@ def test_rollout_collect_covers_expected_steps():
     for s in range(8):
         want = np.asarray(u[0, 50 + s * 25 : 75 + s * 25]).T
         np.testing.assert_allclose(np.asarray(labs[s][0]), want)
+
+
+def test_store_based_metrics_match_rerolling():
+    """eval_interpolated feeds every rollout-derived metric from ONE
+    rollout_store call; the store-based reducers must equal the re-rolling
+    implementations exactly."""
+    from msmp_pde_tpu.data.graph import GraphSpec, build_neighbors_radius
+    from msmp_pde_tpu.models import get_model
+    from msmp_pde_tpu.training.loop import Trainer
+    from msmp_pde_tpu.training import metrics
+
+    nx, tw, nt = 16, 25, 250
+    x = np.linspace(0, 16, nx)
+    idx, mask = build_neighbors_radius(x, 2)
+    spec = GraphSpec(
+        idx=jnp.asarray(idx), mask=jnp.asarray(mask),
+        x=jnp.asarray(x.astype(np.float32)), tw=tw, n_components=1,
+        t_grid=jnp.linspace(0, 4, nt, dtype=jnp.float32), L=16.0, tmax=4.0,
+        dt=4.0 / 249,
+    )
+    model, kind = get_model("MP-PDE", tw=tw, n_eq_vars=0, L=16.0, tmax=4.0,
+                            dt=spec.dt, n_layers=1)
+    trainer = Trainer(model=model, kind=kind, spec=spec, eq_norms={})
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(size=(4, nt, nx)).astype(np.float32))
+    params = trainer.init_params(jax.random.PRNGKey(0), batch_size=2)
+
+    preds, trues = metrics.rollout_store(trainer, params, u, {}, 2, 2, nt)
+
+    # l2_norms_from_store == compute_l2_norms (which re-rolls internally)
+    silent = lambda *a, **k: None
+    l_ref, rel_ref = metrics.compute_l2_norms(trainer, params, u, {}, 2, 2,
+                                              nt, log=silent)
+    l_got, rel_got = metrics.l2_norms_from_store(preds, trues, log=silent)
+    assert abs(l_got - l_ref) < 1e-5 * max(1.0, abs(l_ref))
+    assert abs(rel_got - rel_ref) < 1e-5 * max(1.0, abs(rel_ref))
+
+    # compute_l2_norms_u(preds=...) == compute_l2_norms_u() re-rolling
+    x_r = np.sort(rng.uniform(0, 16, nx)).astype(np.float32)
+    u_r = np.asarray(rng.normal(size=(4, nt, 1, nx)).astype(np.float32))
+    ref = metrics.compute_l2_norms_u(trainer, params, u, {}, u_r,
+                                     np.asarray(x), x_r, 2, 2, nt,
+                                     log=silent)
+    got = metrics.compute_l2_norms_u(trainer, params, u, {}, u_r,
+                                     np.asarray(x), x_r, 2, 2, nt,
+                                     log=silent, preds=preds)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
