@@ -3,8 +3,12 @@
 The hoisted layout materializes gx/zx [T, N, 4H] (~80 MB at the E1 config)
 to HBM between the projection matmul and the unrolled scan; 'nohoist'
 computes [x_t, y] @ W.T inside each step (the lem_cuda layout) and streams
-only the [T, N, I] raw inputs (I ~ 5). Exact-parity test:
-tests/test_lem_pallas.py::test_nohoist_parity. Times the production fused
+only the [T, N, I] raw inputs (I ~ 5). 'remat' variants wrap the scan step
+in jax.checkpoint so the backward recomputes each cell's gates from the
+saved (y, z) carries instead of stashing ~3x more per-cell intermediates —
+a traffic-for-FLOPs trade for the HBM-bound regime (PERF.md §2).
+Exact-parity tests: tests/test_lem_pallas.py::{test_nohoist_parity,
+test_remat_parity}. Times the production fused
 train pass at the E1 config (the reliable measurement; standalone
 micro-benches through the tunnel are not — NOTES_ROUND3.md).
 
@@ -24,8 +28,10 @@ def main():
     print("backend:", jax.default_backend(), jax.devices())
     r = {}
     for mp, lem in (
-        ("pallas_pair", "xla"),      # round-3 production
-        ("pallas_pair", "nohoist"),  # candidate
+        ("pallas_pair", "xla"),            # round-3 production
+        ("pallas_pair", "nohoist"),        # candidate: no [T,N,4H] HBM hop
+        ("pallas_pair", "remat"),          # candidate: no per-cell gate stash
+        ("pallas_pair", "nohoist_remat"),  # both traffic cuts
         ("xla", "nohoist"),
         ("xla", "xla"),
     ):

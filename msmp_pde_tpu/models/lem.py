@@ -40,7 +40,12 @@ class LEM(nn.Module):
 
     impl: "xla" (unrolled lax.scan), "pallas" (fused VMEM-resident scan with
     BPTT backward, ops/lem_pallas.py — the TPU equivalent of the reference's
-    lem_cuda kernel), or "auto" (pallas on TPU). Exact parity asserted in
+    lem_cuda kernel), "nohoist" (in-step fused input projection, the
+    lem_cuda layout), "remat" / "nohoist_remat" (the same with the scan
+    step wrapped in jax.checkpoint: the backward recomputes each cell's
+    gates from the saved (y, z) carries instead of stashing ~3x more
+    per-cell intermediates to HBM — a traffic-for-FLOPs trade aimed at the
+    HBM-bound regime, PERF.md §2), or "auto". Exact parity asserted in
     tests/test_lem_pallas.py."""
 
     hidden: int
@@ -80,7 +85,7 @@ class LEM(nn.Module):
             impl = "xla"
         dt = jnp.asarray(self.dt, inputs.dtype)
 
-        if impl == "nohoist":
+        if impl in ("nohoist", "nohoist_remat"):
             # In-step fused input projection — the CUDA kernel's own layout
             # (lem_cuda computes [x_t, y] @ W.T per step). The hoisted
             # variants materialize gx/zx [T, N, 4H] to HBM (~80 MB at the
@@ -112,6 +117,8 @@ class LEM(nn.Module):
                 )
                 return (y_new, z_new), None
 
+            if impl == "nohoist_remat":
+                step_nh = jax.checkpoint(step_nh)
             state, _ = jax.lax.scan(step_nh, initial_state, inputs,
                                     unroll=True)
             return state[0], state
@@ -148,5 +155,7 @@ class LEM(nn.Module):
         # removes the while-loop + dynamic-update-slice machinery that
         # dominates the profile (the two LEM scans were ~35% of the E1 train
         # step before unrolling) and lets XLA software-pipeline the 25 cells.
+        if impl == "remat":
+            step = jax.checkpoint(step)
         state, _ = jax.lax.scan(step, initial_state, (gx, zx), unroll=True)
         return state[0], state

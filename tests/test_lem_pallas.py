@@ -151,3 +151,37 @@ def test_gradient_parity():
                                    rtol=5e-4, atol=1e-5, err_msg=str(path))
 
     jax.tree_util.tree_map_with_path(check, gx, gp)
+
+def test_remat_parity():
+    """impl='remat' / 'nohoist_remat' (scan step wrapped in jax.checkpoint:
+    backward recomputes cell gates from the saved carries instead of
+    stashing them) must match the non-remat impls for forward, state and
+    gradients — remat changes the residual schedule, not the math."""
+    seq = _inputs(T=9, N=60, I=5)
+    m_x = LEM(hidden=32, impl="xla")
+    params = m_x.init(jax.random.PRNGKey(0), seq)
+
+    def loss_grads(m):
+        def f(p, s):
+            y, _ = m.apply(p, s)
+            return jnp.sum(y**2)
+
+        return jax.grad(f, argnums=(0, 1))(params, seq)
+
+    y_ref, (_, z_ref) = m_x.apply(params, seq)
+    g_ref, gs_ref = loss_grads(m_x)
+    for impl in ("remat", "nohoist_remat"):
+        m_r = LEM(hidden=32, impl=impl)
+        y_r, (_, z_r) = m_r.apply(params, seq)
+        np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-6, err_msg=impl)
+        np.testing.assert_allclose(np.asarray(z_r), np.asarray(z_ref),
+                                   rtol=1e-5, atol=1e-6, err_msg=impl)
+        g_r, gs_r = loss_grads(m_r)
+        np.testing.assert_allclose(np.asarray(gs_r), np.asarray(gs_ref),
+                                   rtol=1e-4, atol=1e-5, err_msg=impl)
+        for k in g_ref["params"]:
+            np.testing.assert_allclose(
+                np.asarray(g_r["params"][k]), np.asarray(g_ref["params"][k]),
+                rtol=1e-4, atol=1e-5, err_msg=f"{impl}:{k}",
+            )
