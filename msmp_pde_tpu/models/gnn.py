@@ -229,7 +229,8 @@ class MPSolver(nn.Module):
     tmax: float = 4.0
     dt: float = 4.0 / 249
     mp_impl: str = "auto"  # auto | pallas | pallas_pair | xla (ops/mp_pallas.py)
-    lem_impl: str = "auto"  # auto | pallas | xla (ops/lem_pallas.py)
+    lem_impl: str = "auto"  # auto | pallas | xla | nohoist | remat |
+    #   nohoist_remat (models/lem.py; pallas: ops/lem_pallas.py)
     mp_precision: str = "float32"  # float32 | bfloat16 | bfloat16s (Pallas)
     mp_inference: bool = False  # fwd-only use: feasibility skips the bwd blocking
 
