@@ -74,15 +74,24 @@ class LEM(nn.Module):
 
         impl = self.impl
         if impl == "auto":
-            # Measured on a v5e chip (experiments/bench_pallas.py, full
-            # MSMP-PDE train pass at the E1 config): the unrolled-XLA scan
-            # beats the Pallas scan (5534 vs 4663 samples/s standalone;
-            # 5954 vs 5805 combined with the Pallas MP layer) — XLA
-            # pipelines the hoisted input projections into the short T=25
-            # recurrence better than the grid-sequential kernel. auto
-            # therefore stays on the XLA path; "pallas" remains available
-            # (exact parity asserted in tests/test_lem_pallas.py).
-            impl = "xla"
+            # Measured on a v5e chip (full MSMP-PDE train pass at the E1
+            # config). Round-3 (experiments/bench_pallas.py): the
+            # unrolled-XLA scan beats the Pallas scan (5534 vs 4663
+            # samples/s standalone; 5954 vs 5805 with the Pallas MP layer)
+            # — XLA pipelines the hoisted projections into the short T=25
+            # recurrence better than the grid-sequential kernel. Round-4
+            # (experiments/bench_lem_layout.py, on-chip): nohoist_remat —
+            # in-step fused input projection + jax.checkpoint'd scan step
+            # — beats the hoisted XLA scan 7601 vs 6867 samples/s (2.105
+            # vs 2.330 ms/step), confirming the HBM-bound roofline
+            # (PERF.md §2): it cuts both the [T,N,4H] projection streams
+            # and the backward's per-cell gate stash. auto therefore picks
+            # nohoist_remat on TPU; off-TPU (CPU tests, where recompute
+            # costs real FLOP time and nothing is HBM-bound) it stays on
+            # the hoisted XLA scan. Exact parity across all impls is
+            # asserted in tests/test_lem_pallas.py.
+            impl = ("nohoist_remat" if jax.default_backend() == "tpu"
+                    else "xla")
         dt = jnp.asarray(self.dt, inputs.dtype)
 
         if impl in ("nohoist", "nohoist_remat"):
