@@ -45,7 +45,10 @@ class LEM(nn.Module):
     step wrapped in jax.checkpoint: the backward recomputes each cell's
     gates from the saved (y, z) carries instead of stashing ~3x more
     per-cell intermediates to HBM — a traffic-for-FLOPs trade aimed at the
-    HBM-bound regime, PERF.md §2), or "auto". Exact parity asserted in
+    HBM-bound regime, PERF.md §2), "nohoist_chunked" (sqrt-style: carries
+    saved only at chunk boundaries, C = divisor of T nearest sqrt(T),
+    shrinking the carry stash ~C× for one extra chunk-forward of
+    recompute), or "auto". Exact parity asserted in
     tests/test_lem_pallas.py."""
 
     hidden: int
@@ -94,7 +97,7 @@ class LEM(nn.Module):
                     else "xla")
         dt = jnp.asarray(self.dt, inputs.dtype)
 
-        if impl in ("nohoist", "nohoist_remat"):
+        if impl in ("nohoist", "nohoist_remat", "nohoist_chunked"):
             # In-step fused input projection — the CUDA kernel's own layout
             # (lem_cuda computes [x_t, y] @ W.T per step). The hoisted
             # variants materialize gx/zx [T, N, 4H] to HBM (~80 MB at the
@@ -125,6 +128,28 @@ class LEM(nn.Module):
                     zx_t + z_new @ Wz_z.T
                 )
                 return (y_new, z_new), None
+
+            if impl == "nohoist_chunked":
+                # sqrt-style checkpointing: save the (y, z) carries only at
+                # chunk boundaries and recompute the C in-chunk steps on the
+                # backward — the per-step remat's carry stash (2·[T,N,H] ≈
+                # 41 MB/traversal at the E1 config) shrinks ~C×, while the
+                # recompute FLOPs stay one extra chunk-forward (the LEM's
+                # 2 matmuls/step are ~1% of the step's FLOPs). C = the
+                # divisor of T nearest sqrt(T) (T=25 → 5); C=1 degenerates
+                # to per-step remat, C=T to one whole-scan checkpoint.
+                C = min((c for c in range(1, T + 1) if T % c == 0),
+                        key=lambda c: abs(c - T ** 0.5))
+
+                def chunk_nh(carry, x_chunk):
+                    for i in range(C):
+                        carry, _ = step_nh(carry, x_chunk[i])
+                    return carry, None
+
+                state, _ = jax.lax.scan(
+                    jax.checkpoint(chunk_nh), initial_state,
+                    inputs.reshape(T // C, C, N, I), unroll=True)
+                return state[0], state
 
             if impl == "nohoist_remat":
                 step_nh = jax.checkpoint(step_nh)

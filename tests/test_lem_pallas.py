@@ -170,7 +170,9 @@ def test_remat_parity():
 
     y_ref, (_, z_ref) = m_x.apply(params, seq)
     g_ref, gs_ref = loss_grads(m_x)
-    for impl in ("remat", "nohoist_remat"):
+    # T=9 exercises a non-trivial chunking (C=3) for nohoist_chunked, the
+    # sqrt-checkpointed variant (carries saved at chunk boundaries only).
+    for impl in ("remat", "nohoist_remat", "nohoist_chunked"):
         m_r = LEM(hidden=32, impl=impl)
         y_r, (_, z_r) = m_r.apply(params, seq)
         np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_ref),
