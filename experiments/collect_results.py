@@ -75,7 +75,7 @@ RUNS = {
     "train_MSWG3_LSTM2D.log": ("MSWG3", "LSTM2D", "pure-recurrent, no GNN"),
     "train_MSWG3_torchref.log": ("MSWG3", "MSMP-PDE2D", "trained on torch-reference-generated data"),
     # round-4 queue (tpu_queue_r4a.sh)
-    "train_KS_20ep.log": ("KS", "MSMP-PDE", "reference 20-epoch schedule; chaotic — see short-horizon"),
+    "train_KS_20ep.log": ("KS", "MSMP-PDE", "reference 20-epoch schedule; chaotic full-horizon — short-horizon (2 windows) 7.17%"),
     "train_E1_MPPDE_s2.log": ("E1", "MP-PDE", "seed 2 (noise estimate)"),
     "train_E1_Gated_s2.log": ("E1", "Gated", "seed 2 (noise estimate)"),
     "train_E1_MSMP_s2.log": ("E1", "MSMP-PDE", "seed 2 (noise estimate)"),
@@ -83,6 +83,16 @@ RUNS = {
     "train_MSWG3_MSMP2D_s2.log": ("MSWG3", "MSMP-PDE2D", "seed 2 (noise estimate)"),
     "train_MSWG3_MSG2_s1.log": ("MSWG3", "MSG2-PDE2D", "seed 1 (noise estimate)"),
     "train_MSWG3_MSG2_s2.log": ("MSWG3", "MSG2-PDE2D", "seed 2 (noise estimate)"),
+    # round-4f recovery queue: s0 RERUNS on the freshly generated TPU-f32
+    # data (the Aug-18 re-image wiped data/ — seed spreads must not mix
+    # data provenance, so each replicate set gets its own s0 base; note
+    # deliberately avoids the substring "seed" to stay out of the
+    # seed_spread replicate groups, which prepend the base via SEED_BASE)
+    "train_E1_MSMP_s0.log": ("E1", "MSMP-PDE", "s0 base, fresh TPU-f32 data, post-LEM-flip"),
+    "train_E1_Gated_s0.log": ("E1", "Gated", "s0 base, fresh TPU-f32 data"),
+    "train_E1_MPPDE_s0.log": ("E1", "MP-PDE", "s0 base, fresh TPU-f32 data"),
+    "train_MSWG3_MSMP2D_s0.log": ("MSWG3", "MSMP-PDE2D", "s0 base, fresh TPU-f32 data"),
+    "train_MSWG3_MSG2_s0.log": ("MSWG3", "MSG2-PDE2D", "s0 base, fresh TPU-f32 data"),
 }
 
 TASK_ORDER = ["E1", "E2", "E3", "kdv", "WE1", "WE2", "WE3", "KF", "KS",
@@ -99,6 +109,48 @@ STATIC_ROWS = [
     ("RP", "FNO2DP", "round 1", None, 1.72, 6),
     ("MSWG3", "MSMP-PDE2D", "round 1 (incl. mid-training resume)",
      None, 5.37, 84),
+    # round-3 rows whose logs were deleted by the Aug-18 host re-image
+    # (values as recorded in the master table at commit 9dc8a73). The E1
+    # LSTM cut row is NOT carried — its r4f rerun supersedes it.
+    ("E1", "Gated", "gate, no temporal encoder", 6.62, 6.32, 28),
+    ("E1", "LSTMGated", "gate + LSTM encoder", 7.04, 6.57, 32),
+    ("E1", "MSMP-PDE", "trained on torch-reference-generated data",
+     6.87, 6.57, 51),
+    ("E1", "MSMP-PDE", "fused gated-pair kernel (production auto)",
+     6.90, 6.86, 29),
+    ("E1", "MSGMP-PDE", "GLU decoder variant", 7.16, 6.92, 53),
+    ("E1", "LEM", "pure-recurrent, no GNN", 7.48, 7.51, 22),
+    ("E1", "MP-PDE", "plain-MP ablation baseline", 7.49, 7.65, 48),
+    ("E1", "MSSMP-PDE", "twin-tower scale/diff", 7.99, 7.68, 62),
+    ("E1", "BaseCNN", "", 8.67, 8.68, 6),
+    ("E1", "SaveMSMP-PDE", "stateful LEM across windows", 8.85, 9.28, 29),
+    ("E1", "FNO", "", 10.77, 11.37, 6),
+    ("E1", "VNO", "nonequispaced FNO", 18.45, 17.95, 5),
+    ("E3", "FNOP", "param-conditioned FNO", 11.28, 10.63, 7),
+    ("E3", "MSMP-PDE", "", 10.89, 10.92, 32),
+    ("kdv", "MSMP-PDE", "tw=50 (best kdv)", 18.82, 16.17, 44),
+    ("kdv", "FNO", "cross-model bound", 22.37, 18.16, 7),
+    ("kdv", "MSMP-PDE", "30 epochs, late milestones", 23.32, 20.12, 41),
+    ("kdv", "MSMP-PDE", "reference schedule", 26.40, 22.24, 42),
+    ("kdv", "BaseCNN", "cross-model bound", 50.97, 47.53, 4),
+    ("WE2", "MSMP-PDE", "", 1.09, 1.09, 29),
+    ("WE3", "MSMP-PDE", "", 2.85, 2.79, 28),
+    ("KF", "MSMP-PDE", "", 1.12, 0.76, 30),
+    ("KS", "MSMP-PDE", "5-epoch checkpoint: full-horizon rel L2; "
+     "short-horizon (2 Lyapunov times) = 15.8%", 76.98, 79.44, 14),
+    ("RPU", "FNO2DPU", "unstructured FNO; best-val checkpoint metrics — "
+     "run cut before completion", 1.75, 2.05, float("nan")),
+    ("RPU", "MSMP-PDE2D", "interpolated *_I pipeline (r3); "
+     "7.60% interpolated-back", 6.29, 6.88, 33),
+    ("RPU", "MSMP-PDE2D", "direct on unstructured grid, 30 epochs",
+     6.74, 8.04, 43),
+    ("MSWG", "MSMP-PDE2D", "", 0.83, 1.12, 35),
+    ("MSWG", "BaseCNN2D", "", 6.17, 6.47, 5),
+    ("MSWG3", "MSG2-PDE2D", "gradient gate (best MSWG3)", 5.14, 4.52, 40),
+    ("MSWG3", "MSMP-PDE2D", "trained on torch-reference-generated data",
+     4.22, 5.09, 40),
+    ("MSWG3", "GLEMGated2D", "attention path (upstream dead code)",
+     48.48, 50.16, 35),
 ]
 
 BEGIN = "<!-- master-table:begin -->"
@@ -151,12 +203,16 @@ def harvest(log_dir="experiments/log"):
 # (task, model) — e.g. torch-data and ablation rows — so the base is named
 # explicitly)
 SEED_BASE = {
-    ("E1", "MP-PDE"): "train_E1_MPPDE.log",
-    ("E1", "Gated"): "train_E1_Gated.log",
+    # post-re-image: bases are the s0 reruns on the fresh TPU-f32 data
+    # (the r3 base logs were wiped and their rows carried to STATIC_ROWS;
+    # mixing them into spreads would conflate data provenance with seed
+    # noise)
+    ("E1", "MP-PDE"): "train_E1_MPPDE_s0.log",
+    ("E1", "Gated"): "train_E1_Gated_s0.log",
     ("E1", "LSTMGated"): "train_E1_LSTMGated.log",
-    ("E1", "MSMP-PDE"): "train_E1_pair.log",
-    ("MSWG3", "MSMP-PDE2D"): "train_MSWG3.log",
-    ("MSWG3", "MSG2-PDE2D"): "train_MSWG3_MSG2.log",
+    ("E1", "MSMP-PDE"): "train_E1_MSMP_s0.log",
+    ("MSWG3", "MSMP-PDE2D"): "train_MSWG3_MSMP2D_s0.log",
+    ("MSWG3", "MSG2-PDE2D"): "train_MSWG3_MSG2_s0.log",
 }
 
 
