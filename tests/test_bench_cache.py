@@ -77,3 +77,72 @@ def test_save_then_emit_roundtrip(tmp_path):
         payload = json.load(f)
     assert payload["result"]["value"] == 7.0
     assert "recorded_at" in payload and "git_rev" in payload
+
+
+def test_queue_pause_resume(tmp_path, monkeypatch):
+    """bench pauses a live tpu_queue_* process tree for the measurement
+    window (the axon tunnel multiplexes clients — a concurrent training
+    stage silently halves the measured throughput) and resumes it after;
+    a detached failsafe resumer covers abnormal bench exits."""
+    import subprocess
+    import time
+
+    mod = _load_bench(tmp_path)
+    q = subprocess.Popen(["bash", "-c", "sleep 60 & wait"])
+    try:
+        time.sleep(0.2)
+        pidfile = tmp_path / "tpu_queue_test.pid"
+        pidfile.write_text(str(q.pid))
+        # isolate: only our fake queue's pidfile is visible
+        real_glob = mod.glob.glob
+        monkeypatch.setattr(
+            mod.glob, "glob",
+            lambda pat: ([str(pidfile)] if "tpu_queue" in pat
+                         else real_glob(pat)))
+        stopped = mod._pause_queues()
+        assert q.pid in stopped and len(stopped) >= 2  # bash + sleep child
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            states = []
+            for p in stopped:
+                with open(f"/proc/{p}/status") as f:
+                    states.append(next(l for l in f
+                                       if l.startswith("State:")).split()[1])
+            if all(s == "T" for s in states):
+                break
+            time.sleep(0.05)
+        assert all(s == "T" for s in states), states
+        mod._resume_queues(stopped)
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            with open(f"/proc/{q.pid}/status") as f:
+                st = next(l for l in f if l.startswith("State:")).split()[1]
+            if st != "T":
+                break
+            time.sleep(0.05)
+        assert st != "T", "queue must be running again after resume"
+    finally:
+        q.kill()
+        q.wait()
+
+
+def test_queue_pause_skips_own_ancestors(tmp_path, monkeypatch):
+    """When the queue itself runs bench.py, the pidfile points at bench's
+    own ancestor chain — nothing may be frozen (a frozen parent would
+    deadlock the queue waiting on its stopped self)."""
+    import os
+
+    mod = _load_bench(tmp_path)
+    pidfile = tmp_path / "tpu_queue_self.pid"
+    pidfile.write_text(str(os.getppid()))
+    real_glob = mod.glob.glob
+    monkeypatch.setattr(
+        mod.glob, "glob",
+        lambda pat: ([str(pidfile)] if "tpu_queue" in pat
+                     else real_glob(pat)))
+    stopped = mod._pause_queues()
+    assert stopped == [] or os.getpid() not in stopped
+    anc = mod._ancestors()
+    assert os.getppid() in anc
+    assert not set(stopped) & anc
+    mod._resume_queues(stopped)
