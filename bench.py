@@ -336,17 +336,44 @@ def _ancestors() -> set:
     return anc
 
 
+def _start_time(pid: int):
+    """Unix timestamp the process started, or None if unreadable."""
+    try:
+        with open("/proc/stat") as f:
+            btime = next(int(l.split()[1]) for l in f
+                         if l.startswith("btime"))
+        with open(f"/proc/{pid}/stat") as f:
+            # comm (field 2) may contain spaces — split after its ')'.
+            rest = f.read().rsplit(")", 1)[1].split()
+        return btime + int(rest[19]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, StopIteration, IndexError, ValueError):
+        return None
+
+
 def _pause_queues() -> list:
-    """SIGSTOP every live tpu_queue_* process tree; returns stopped pids."""
+    """SIGSTOP every live tpu_queue_* process tree; returns stopped pids.
+
+    Guards against bogus/stale pidfiles: a pidfile naming pid<=1 (or an
+    unreadable pid) is ignored — walking the tree from init would
+    SIGSTOP the entire system — and a pid that STARTED AFTER its
+    pidfile was written is a recycled pid (the re-imaged host reuses
+    low pids), not the queue that wrote the file.
+    """
     stopped, anc = [], _ancestors()
     for pf in glob.glob("/tmp/tpu_queue_*.pid"):
         try:
             with open(pf) as f:
                 qpid = int(f.read().strip())
+            mtime = os.stat(pf).st_mtime
         except (OSError, ValueError):
             continue
+        if qpid <= 1:
+            continue
+        st = _start_time(qpid)
+        if st is None or st > mtime + 2.0:  # +2 s clock slack
+            continue
         for p in _proc_tree(qpid):
-            if p in anc or p == os.getpid():
+            if p <= 1 or p in anc or p == os.getpid():
                 continue
             try:
                 os.kill(p, signal.SIGSTOP)

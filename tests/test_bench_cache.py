@@ -126,23 +126,65 @@ def test_queue_pause_resume(tmp_path, monkeypatch):
         q.wait()
 
 
-def test_queue_pause_skips_own_ancestors(tmp_path, monkeypatch):
-    """When the queue itself runs bench.py, the pidfile points at bench's
-    own ancestor chain — nothing may be frozen (a frozen parent would
-    deadlock the queue waiting on its stopped self)."""
-    import os
-
-    mod = _load_bench(tmp_path)
-    pidfile = tmp_path / "tpu_queue_self.pid"
-    pidfile.write_text(str(os.getppid()))
+def _fake_only_pidfile(mod, monkeypatch, pidfile):
     real_glob = mod.glob.glob
     monkeypatch.setattr(
         mod.glob, "glob",
         lambda pat: ([str(pidfile)] if "tpu_queue" in pat
                      else real_glob(pat)))
+
+
+def test_queue_pause_skips_own_ancestors(tmp_path, monkeypatch):
+    """When the queue itself runs bench.py, the pidfile points at bench's
+    own ancestor chain — nothing may be frozen (a frozen parent would
+    deadlock the queue waiting on its stopped self). Pointing the
+    pidfile at THIS process stands in for that: the walk starts inside
+    our own chain, and self+ancestors must be excluded."""
+    import os
+
+    mod = _load_bench(tmp_path)
+    pidfile = tmp_path / "tpu_queue_self.pid"
+    pidfile.write_text(str(os.getpid()))
+    _fake_only_pidfile(mod, monkeypatch, pidfile)
     stopped = mod._pause_queues()
-    assert stopped == [] or os.getpid() not in stopped
-    anc = mod._ancestors()
-    assert os.getppid() in anc
-    assert not set(stopped) & anc
-    mod._resume_queues(stopped)
+    try:
+        assert os.getpid() not in stopped
+        assert not set(stopped) & mod._ancestors()
+    finally:
+        mod._resume_queues(stopped)
+
+
+def test_queue_pause_ignores_init_pidfile(tmp_path, monkeypatch):
+    """A bogus pidfile naming pid 1 must be ignored outright — walking
+    the tree from init would SIGSTOP every process on the host
+    (including this test's own session). Regression: a reparented-
+    under-nohup test once wrote its ppid (=1) here and froze the world
+    for a measurement window."""
+    mod = _load_bench(tmp_path)
+    pidfile = tmp_path / "tpu_queue_bogus.pid"
+    pidfile.write_text("1")
+    _fake_only_pidfile(mod, monkeypatch, pidfile)
+    assert mod._pause_queues() == []
+
+
+def test_queue_pause_ignores_recycled_pid(tmp_path, monkeypatch):
+    """A pid that started AFTER its pidfile was written is a recycled
+    pid, not the queue that wrote the file — must be skipped."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    mod = _load_bench(tmp_path)
+    q = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(60)"])
+    try:
+        pidfile = tmp_path / "tpu_queue_stale.pid"
+        pidfile.write_text(str(q.pid))
+        past = time.time() - 3600
+        os.utime(pidfile, (past, past))  # file predates the process
+        _fake_only_pidfile(mod, monkeypatch, pidfile)
+        assert mod._pause_queues() == []
+        assert mod._start_time(q.pid) is not None
+    finally:
+        q.kill()
+        q.wait()
