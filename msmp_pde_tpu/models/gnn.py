@@ -233,6 +233,16 @@ class MPSolver(nn.Module):
     #   nohoist_remat (models/lem.py; pallas: ops/lem_pallas.py)
     mp_precision: str = "float32"  # float32 | bfloat16 | bfloat16s (Pallas)
     mp_inference: bool = False  # fwd-only use: feasibility skips the bwd blocking
+    # Rematerialize each MP layer in the backward: recompute the per-edge
+    # intermediates ([B, nx, K, H] messages — the dominant stash) instead of
+    # storing them across the whole layer stack. Trades ~one extra forward
+    # of FLOPs for O(layers) less HBM-resident memory — the lever for wide
+    # hidden sizes where the plain backward OOMs (PERF.md §4: hidden=512
+    # exhausts the 16 GB v5e). Applies to the XLA layer math; the Pallas
+    # kernels already bound their memory in-kernel (custom_vjp recompute
+    # ordering), so mp_remat forces the XLA path (exact same params/math,
+    # parity-tested) and rejects forced-Pallas configs.
+    mp_remat: bool = False
 
     @nn.compact
     def __call__(self, window, pos_x, t, var_vec, idx, mask, lem_state=None):
@@ -245,7 +255,7 @@ class MPSolver(nn.Module):
                 gate="sigmoid", decoder="diff_only", L=self.L,
                 tmax=self.tmax, dt=self.dt, mp_impl=self.mp_impl,
                 lem_impl=self.lem_impl, mp_precision=self.mp_precision,
-                mp_inference=self.mp_inference,
+                mp_inference=self.mp_inference, mp_remat=self.mp_remat,
             )
             diff, _ = MPSolver(**sub, name="diff_tower")(
                 window, pos_x, t, var_vec, idx, mask
@@ -294,11 +304,19 @@ class MPSolver(nn.Module):
                     "no admissible Pallas batch blocking for the fused "
                     "gated PAIR at these shapes; use mp_impl=pallas or auto"
                 )
+        # mp_remat: lift each layer through nn.remat so its per-edge
+        # intermediates are recomputed in the backward instead of stashed
+        # (ega is always None here — _resolve_ega returns None under
+        # mp_remat — so every lifted call passes arrays/None only). The
+        # transform preserves param names (gnn_i/gate_i): checkpoints are
+        # interchangeable with the plain path.
+        mp_cls = nn.remat(GNNLayer) if self.mp_remat else GNNLayer
+        gat_cls = nn.remat(GATLayer) if self.mp_remat else GATLayer
         for i in range(self.layers):
             if self.layer_type == "gat":
-                layer = GATLayer(hidden=self.hidden, name=f"gnn_{i}")
+                layer = gat_cls(hidden=self.hidden, name=f"gnn_{i}")
             else:
-                layer = GNNLayer(
+                layer = mp_cls(
                     hidden=self.hidden,
                     final_act=ungated and self.plain_residual,
                     residual=ungated and self.plain_residual,
@@ -308,10 +326,11 @@ class MPSolver(nn.Module):
                 h = layer(h, window, px_n, variables, idx, mask, ega=ega)
             else:
                 if self.layer_type == "gat":
-                    gate_layer = GATLayer(hidden=self.hidden, name=f"gate_{i}")
+                    gate_layer = gat_cls(hidden=self.hidden,
+                                         name=f"gate_{i}")
                     g = gate_layer(h, window, px_n, variables, idx, mask)
                 else:
-                    gate_layer = GNNLayer(
+                    gate_layer = mp_cls(
                         hidden=self.hidden, final_act=False, residual=False,
                         name=f"gate_{i}",
                     )
@@ -355,6 +374,16 @@ class MPSolver(nn.Module):
         auto: Pallas on TPU when the per-step working set fits VMEM; XLA
         otherwise. "pallas" forces it (interpret mode off-TPU, for tests).
         """
+        if self.mp_remat:
+            if self.mp_impl in ("pallas", "pallas_pair"):
+                # a FORCED kernel mode must not silently change math path;
+                # the Pallas kernels bound their own memory in-kernel, so
+                # remat composes only with the XLA layer math
+                raise ValueError(
+                    "mp_remat requires the XLA layer path; "
+                    f"mp_impl={self.mp_impl!r} is a forced Pallas mode"
+                )
+            return None
         if self.layer_type != "mp" or self.mp_impl == "xla":
             return None
         backend = jax.default_backend()

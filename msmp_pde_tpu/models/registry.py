@@ -33,10 +33,12 @@ def get_model(
     lem_impl: str = "auto",
     mp_precision: str = "float32",
     mp_inference: bool = False,
+    mp_remat: bool = False,
 ) -> Tuple[object, str]:
     common = dict(tw=tw, layers=n_layers, L=L, tmax=tmax, dt=dt,
                   mp_impl=mp_impl, lem_impl=lem_impl,
-                  mp_precision=mp_precision, mp_inference=mp_inference)
+                  mp_precision=mp_precision, mp_inference=mp_inference,
+                  mp_remat=mp_remat)
     g1 = dict(common, n_components=1)
     g2 = dict(common, n_components=2)
     # FNO param variants consume alpha/beta/gamma/D/r in 1D

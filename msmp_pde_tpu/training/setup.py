@@ -142,6 +142,7 @@ def setup_experiment(args, modes=("train", "valid", "test"),
         eq_var_names=tuple(eq_norms.keys()),
         positions=np.asarray(ds0.x),
         mp_precision=getattr(args, "mp_precision", "float32"),
+        mp_remat=getattr(args, "mp_remat", False),
     )
     trainer = Trainer(model=model, kind=kind, spec=spec, eq_norms=eq_norms)
     return Experiment(

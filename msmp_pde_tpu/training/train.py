@@ -363,6 +363,12 @@ def build_parser():
                         "kernel (f32 accumulation either way); 'bfloat16s' "
                         "pre-casts kernel inputs/weights outside the kernel "
                         "(native-bf16 storage, no in-kernel input relayouts)")
+    p.add_argument("--mp_remat", action="store_true",
+                   help="rematerialize each MP layer in the backward "
+                        "(recompute per-edge intermediates instead of "
+                        "stashing them) — the HBM lever for wide hidden "
+                        "sizes; forces the XLA layer math (exact same "
+                        "params/outputs, parity-tested)")
     return p
 
 

@@ -341,3 +341,52 @@ def test_window_decoder_width_general():
     with pytest.raises(ValueError, match="too small"):
         dec = WindowDecoder(tw=25, out_channels=1)
         dec.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 1, 64), jnp.float32))
+
+
+class TestMPRemat:
+    """mp_remat changes only WHAT the backward stores, never the math:
+    outputs, params, and grads must be bit-identical to the plain path
+    (same param names, so checkpoints interchange)."""
+
+    def _pair(self, name, d):
+        eq = EQ_1D if d == 1 else EQ_2D
+        kw = dict(tw=TW, n_eq_vars=len(eq), L=L, tmax=TMAX, dt=DT,
+                  eq_var_names=eq, mp_impl="xla")
+        plain, _ = get_model(name, **kw)
+        remat, _ = get_model(name, **kw, mp_remat=True)
+        return plain, remat
+
+    @pytest.mark.parametrize("name", ["MSMP-PDE", "MSG2-PDE2D",
+                                      "GLEMGated2D", "MP-PDE"])
+    def test_fwd_and_grad_parity(self, name):
+        d = 2 if "2D" in name else 1
+        plain, remat = self._pair(name, d)
+        args = _graph_inputs(d)
+        key = jax.random.PRNGKey(7)
+        params = plain.init(key, *args)
+        params_r = remat.init(key, *args)
+        assert jax.tree.structure(params) == jax.tree.structure(params_r)
+
+        def loss(m):
+            def f(p):
+                out, _ = m.apply(p, *args)
+                return (out ** 2).mean()
+            return f
+
+        out_p, _ = plain.apply(params, *args)
+        out_r, _ = remat.apply(params, *args)
+        np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_r))
+        g_p = jax.grad(loss(plain))(params)
+        g_r = jax.grad(loss(remat))(params)
+        for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=0, atol=0)
+
+    def test_forced_pallas_rejected(self):
+        eq = EQ_1D
+        model, _ = get_model("MSMP-PDE", tw=TW, n_eq_vars=len(eq), L=L,
+                             tmax=TMAX, dt=DT, eq_var_names=eq,
+                             mp_impl="pallas_pair", mp_remat=True)
+        args = _graph_inputs(1)
+        with pytest.raises(ValueError, match="mp_remat"):
+            model.init(jax.random.PRNGKey(0), *args)
