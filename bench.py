@@ -24,16 +24,21 @@ ratio is reported alongside.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Outage-proofing (round 4): the backend probe is BOUNDED (MSMP_BENCH_WAIT_S,
-default 600 s total — the chip takes up to ~6 min to release after a heavy
-queue stage exits; probed in killable subprocesses because a downed backend
-makes an in-process init attempt hang ~25 min). Every successful run persists
-its JSON to experiments/bench_cache.json; if the backend is down when the
-driver runs this script, the cache is emitted with "backend_down": true
-instead of timing out with no output at all. A run watchdog
-(MSMP_BENCH_RUN_S, default 2100 s) bounds a mid-run tunnel wedge the same
-way; its message records the last milestone reached so a slow cold-cache
-compile is distinguishable from a wedge.
+Outage-proofing (round 5 — cache-FIRST): the very first thing this script
+does is print the last-known-good cached result as a complete JSON line
+marked "provisional": true, flushed, BEFORE importing jax or probing the
+backend. Whatever happens afterwards (probe timeout, cold-compile overrun,
+tunnel wedge, SIGKILL from the driver's window), stdout already carries a
+parseable line. A fresh capture is then attempted under one global budget
+(MSMP_BENCH_TOTAL_S, default 420 s — sized to fit the driver window): the
+backend probe is bounded and runs in killable subprocesses (a downed
+backend makes an in-process jax init hang ~25 min), a watchdog emits the
+cache and hard-exits if the run wedges, and when the remaining budget runs
+low the MFU-lowering and datagen sub-benches are skipped with their keys
+carried from cache (marked *_carried_from_cache). A successful fresh
+capture prints a second, final JSON line (drivers that parse the last line
+get the fresh number; drivers that parse the first line get the cache —
+either parses).
 """
 import glob
 import json
@@ -45,8 +50,17 @@ import time
 
 import numpy as np
 
-CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "experiments", "bench_cache.json")
+# The driver invokes bench.py WITHOUT the queue's environment, so without
+# this the driver-time run re-compiles every program cold through the
+# tunnel (~7 min) while the queue's own runs sit on a warm disk cache in
+# the same boot. Must be set before jax is imported (it is imported
+# lazily, inside main()).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+CACHE_PATH = os.environ.get(
+    "MSMP_BENCH_CACHE_PATH",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "experiments", "bench_cache.json"))
 
 BASELINE_SAMPLES_PER_SEC = 533.0  # estimated A100 torch reference (see above)
 
@@ -124,11 +138,19 @@ def bench_datagen_e1(n_chunks: int = 2, B: int = 16) -> float:
     return n_chunks * B / dt
 
 
-def main():
+def main(remaining=None, cached=None):
+    """Fresh capture. `remaining()` -> seconds left in the global budget;
+    when it runs low the MFU-lowering and datagen sub-benches are skipped
+    and their keys carried from `cached` (the loaded cache payload), so the
+    headline throughput number always lands inside the driver window."""
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _make_trainer
+
+    if remaining is None:
+        remaining = lambda: float("inf")
+    cached_result = (cached or {}).get("result", {})
 
     B, nx, nt, tw = 16, 100, 250, 25
     trainer = _make_trainer(tw=tw, nx=nx, n_layers=6)
@@ -183,7 +205,12 @@ def main():
     # Pallas custom calls, so the FLOPs come from the mathematically
     # identical mp_impl="xla" lowering; the wall-clock stays the production
     # (Pallas) measurement.
+    mfu_carried = remaining() < 150.0  # 2 tunnel compiles don't fit
     try:
+        if mfu_carried:
+            raise TimeoutError(
+                f"budget low ({remaining():.0f}s): MFU lowerings skipped, "
+                "keys carried from cache")
         trainer_x = _make_trainer(tw=tw, nx=nx, n_layers=6, mp_impl="xla")
         params_x = trainer_x.init_params(jax.random.PRNGKey(0), batch_size=B)
         idx1, steps1 = idx[0], steps[0]
@@ -214,9 +241,28 @@ def main():
         hbm_util = round(100.0 * (bytes_per_step / step_dt) / V5E_HBM_BW, 2)
     else:
         bytes_per_step = hbm_util = None
+    if mfu_carried:
+        # FLOPs/step is shape-determined, not run-determined, so carrying
+        # cached cost_analysis numbers against THIS run's wall-clock is
+        # sound as long as the config hash hasn't changed.
+        cf = cached_result.get("flops_per_step")
+        cb = cached_result.get("bytes_per_step")
+        if cf:
+            flops_per_step = cf
+            mfu_bf16 = round(100.0 * (cf / step_dt) / V5E_PEAK_BF16_FLOPS, 2)
+            mfu_f32 = round(100.0 * (cf / step_dt) / V5E_PEAK_F32_FLOPS, 2)
+        if cb:
+            bytes_per_step = cb
+            hbm_util = round(100.0 * (cb / step_dt) / V5E_HBM_BW, 2)
     _MILESTONE[0] = "MFU lowered"
 
-    datagen_sps = bench_datagen_e1()
+    datagen_carried = remaining() < 100.0
+    if datagen_carried:
+        datagen_sps = cached_result.get("datagen_e1_samples_per_sec_chip")
+        print(f"# budget low ({remaining():.0f}s): datagen sub-bench "
+              "skipped, key carried from cache", file=sys.stderr)
+    else:
+        datagen_sps = bench_datagen_e1()
     _MILESTONE[0] = "datagen timed"
     # vs_baseline refers to the SAME quantity as "value" (train throughput,
     # vs the clearly-labeled A100 torch-reference ESTIMATE — the repo
@@ -255,18 +301,23 @@ def main():
         ),
         "datagen_vs_torch_ref_measured": round(
             datagen_sps / TORCH_REF_DATAGEN_SAMPLES_PER_SEC_MEASURED, 2
-        ),
+        ) if datagen_sps else None,
         "datagen_vs_torch_ref_provenance": (
             "MEASURED: our E1 datagen samples/s on one chip divided by the "
             "unmodified torch reference's datagen samples/s measured on "
             "this host (experiments/torchref_e1.py) — no estimates."
         ),
-        "datagen_e1_samples_per_sec_chip": round(datagen_sps, 2),
+        "datagen_e1_samples_per_sec_chip": (round(datagen_sps, 2)
+                                            if datagen_sps else None),
         "datagen_torch_ref_measured_samples_per_sec": round(
             TORCH_REF_DATAGEN_SAMPLES_PER_SEC_MEASURED, 3
         ),
         "backend_down": False,
     }
+    if mfu_carried:
+        result["mfu_carried_from_cache"] = True
+    if datagen_carried:
+        result["datagen_carried_from_cache"] = True
     try:
         import jax
 
@@ -287,14 +338,34 @@ def main():
 # process exits by ANY means (including SIGKILL), so the queue can never stay
 # frozen.
 
+# argv: <bench_pid> <bench_start_time|0> <deadline_s> <pid>...
+# Guards (ADVICE r4): (a) a pid-recycling race — if /proc/<bench>/stat's
+# start time no longer matches the recorded one, the bench is gone even
+# though some process answers kill(pid, 0); (b) a hard deadline after
+# which the resumer unconditionally SIGCONTs and exits, so a bench that
+# wedges (but stays alive) can never keep the queue frozen forever.
 _RESUMER_SRC = """
 import os, signal, sys, time
-bench = int(sys.argv[1]); pids = [int(x) for x in sys.argv[2:]]
-while True:
+bench = int(sys.argv[1]); bstart = float(sys.argv[2])
+deadline = time.monotonic() + float(sys.argv[3])
+pids = [int(x) for x in sys.argv[4:]]
+def start_time(pid):
+    try:
+        with open("/proc/stat") as f:
+            btime = next(int(l.split()[1]) for l in f if l.startswith("btime"))
+        with open(f"/proc/{pid}/stat") as f:
+            rest = f.read().rsplit(")", 1)[1].split()
+        return btime + int(rest[19]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, StopIteration, IndexError, ValueError):
+        return None
+while time.monotonic() < deadline:
     try:
         os.kill(bench, 0)
     except ProcessLookupError:
         break
+    st = start_time(bench)
+    if bstart and (st is None or abs(st - bstart) > 2.0):
+        break  # pid recycled: the real bench is gone
     time.sleep(5)
 for p in pids:
     try:
@@ -372,19 +443,31 @@ def _pause_queues() -> list:
         st = _start_time(qpid)
         if st is None or st > mtime + 2.0:  # +2 s clock slack
             continue
-        for p in _proc_tree(qpid):
-            if p <= 1 or p in anc or p == os.getpid():
-                continue
-            try:
-                os.kill(p, signal.SIGSTOP)
-                stopped.append(p)
-            except (ProcessLookupError, PermissionError):
-                pass
+        # Walk-then-stop fixed point (ADVICE r4): a child forked by an
+        # already-walked-but-not-yet-stopped process escapes the first
+        # SIGSTOP pass; stopped parents cannot fork, so re-walking until
+        # no new pids appear converges (normally in <=2 passes).
+        seen = set()
+        for _ in range(8):
+            fresh = [p for p in _proc_tree(qpid)
+                     if p > 1 and p not in anc and p != os.getpid()
+                     and p not in seen]
+            if not fresh:
+                break
+            for p in fresh:
+                seen.add(p)
+                try:
+                    os.kill(p, signal.SIGSTOP)
+                    stopped.append(p)
+                except (ProcessLookupError, PermissionError):
+                    pass
     if stopped:
         print(f"# paused queue pids for the measurement: {stopped}",
               file=sys.stderr)
+        run_s = float(os.environ.get("MSMP_BENCH_TOTAL_S", "420"))
         subprocess.Popen(
-            [sys.executable, "-c", _RESUMER_SRC, str(os.getpid())]
+            [sys.executable, "-c", _RESUMER_SRC, str(os.getpid()),
+             str(_start_time(os.getpid()) or 0.0), str(2.0 * run_s)]
             + [str(p) for p in stopped],
             start_new_session=True,
         )
@@ -432,29 +515,45 @@ def _probe_backend(budget_s: float) -> bool:
         time.sleep(min(20.0, max(0.0, deadline - time.monotonic())))
 
 
-def _emit_cached(reason: str) -> None:
-    """Emit the last-known-good result marked backend_down instead of
-    producing no JSON at all (round-3 failure mode: rc=124, parsed=null)."""
+def _load_cache():
     try:
         with open(CACHE_PATH) as f:
-            cached = json.load(f)
+            return json.load(f)
+    except Exception:
+        return None
+
+
+def _cached_line(reason: str, provisional: bool = False) -> dict:
+    """The last-known-good result as a complete, self-describing JSON
+    object (or a null-value shell if no cache exists)."""
+    cached = _load_cache()
+    if cached:
         result = dict(cached["result"])
-        result["backend_down"] = True
         result["cache_provenance"] = (
             f"{reason}; numbers are the last successful run's "
             f"({cached.get('recorded_at', 'unknown time')}, "
             f"git {cached.get('git_rev', '?')})"
         )
-    except Exception as e:
+    else:
         result = {
             "metric": "MSMP-PDE train throughput (E1 cfg, bs=16, nx=100, pushforward=1)",
             "value": None,
             "unit": "samples/sec/chip",
             "vs_baseline": None,
-            "backend_down": True,
-            "cache_provenance": f"{reason}; no cache available ({e!r})",
+            "cache_provenance": f"{reason}; no cache available",
         }
-    print(json.dumps(result))
+    if provisional:
+        result["provisional"] = True
+    else:
+        result["backend_down"] = True
+    return result
+
+
+def _emit_cached(reason: str) -> None:
+    """Emit the last-known-good result marked backend_down instead of
+    producing no JSON at all (round-3 failure mode: rc=124, parsed=null)."""
+    print(json.dumps(_cached_line(reason)))
+    sys.stdout.flush()
 
 
 def _save_cache(result: dict) -> None:
@@ -496,21 +595,35 @@ def _arm_run_watchdog(run_budget_s: float) -> None:
 
 
 if __name__ == "__main__":
-    # default 600 s: the chip takes up to ~6 min to release after a heavy
-    # queue stage exits; still bounded far below the driver window (the
-    # round-3 failure was an UNBOUNDED 30x60s re-exec loop).
-    budget = float(os.environ.get("MSMP_BENCH_WAIT_S", "600"))
-    if not _probe_backend(budget):
-        _emit_cached(f"backend did not initialize within {budget:.0f}s")
+    t_start = time.monotonic()
+    # ONE global budget sized to fit the driver window (the r4 failure:
+    # worst-case probe 600 s + run watchdog 2100 s > the window, so the
+    # driver SIGKILLed the process before any JSON was printed).
+    total_s = float(os.environ.get("MSMP_BENCH_TOTAL_S", "420"))
+
+    def _remaining():
+        return total_s - (time.monotonic() - t_start)
+
+    # STEP 0 — before anything can hang: the last-known-good cache as a
+    # complete, parseable JSON line. Even a SIGKILL one second from now
+    # leaves the driver with a number.
+    print(json.dumps(_cached_line("provisional line printed at startup; "
+                                  "a fresh capture follows if it fits the "
+                                  "budget", provisional=True)))
+    sys.stdout.flush()
+
+    # probe: bounded below the global budget, leaving >=60 s to run
+    probe_budget = min(float(os.environ.get("MSMP_BENCH_WAIT_S", "300")),
+                       max(0.0, _remaining() - 60.0))
+    if not _probe_backend(probe_budget):
+        _emit_cached(f"backend did not initialize within {probe_budget:.0f}s")
         sys.exit(0)
-    # 2100 s: a cold compilation cache costs ~7 min for the train-pass
-    # compile alone through the tunnel, plus 4 more programs (2 MFU
-    # lowerings, 2 datagen solvers); the r4e queue runs bench first when
-    # the backend returns, so the driver-time run is normally warm-cache.
-    wd = _arm_run_watchdog(float(os.environ.get("MSMP_BENCH_RUN_S", "2100")))
+    # watchdog: whatever budget the probe left (plus a small grace so the
+    # provisional line vs watchdog line race is not a coin flip)
+    wd = _arm_run_watchdog(max(30.0, _remaining()))
     _PAUSED[:] = _pause_queues()
     try:
-        result = main()
+        result = main(remaining=_remaining, cached=_load_cache())
     except RuntimeError as e:
         msg = repr(e)
         if ("jellyfish" in msg or "Unable to initialize backend" in msg
@@ -525,6 +638,7 @@ if __name__ == "__main__":
         result["queue_paused_for_measurement"] = True
     # print FIRST: a cache-write failure must not discard a good run
     print(json.dumps(result))
+    sys.stdout.flush()
     try:
         _save_cache(result)
     except OSError as e:
