@@ -58,7 +58,7 @@ RUNS = {
     "train_RP.log": ("RP", "FNO2DP", ""),
     "train_RP_FNO2DP.log": ("RP", "FNO2DP", ""),
     "train_RPU_30.log": ("RPU", "MSMP-PDE2D", "direct on unstructured grid, 30 epochs"),
-    "train_RPU_I.log": ("RPU", "MSMP-PDE2D", "interpolated *_I pipeline; 7.60% interpolated-back"),
+    "train_RPU_I.log": ("RPU", "MSMP-PDE2D", "interpolated *_I pipeline (r4g TPU rerun); interp-back 6.84%, uniform-route 6.16% (eval_interp_RPU_tpu.log)"),
     "train_RPU_FNO2DPU.log": ("RPU", "FNO2DPU", "unstructured FNO"),
     "train_MSWG.log": ("MSWG", "MSMP-PDE2D", ""),
     "train_MSWG_BaseCNN2D.log": ("MSWG", "BaseCNN2D", ""),

@@ -240,8 +240,10 @@ class MPSolver(nn.Module):
     # hidden sizes where the plain backward OOMs (PERF.md §4: hidden=512
     # exhausts the 16 GB v5e). Applies to the XLA layer math; the Pallas
     # kernels already bound their memory in-kernel (custom_vjp recompute
-    # ordering), so mp_remat forces the XLA path (exact same params/math,
-    # parity-tested) and rejects forced-Pallas configs.
+    # ordering), so mp_remat forces the XLA path (identical param tree —
+    # checkpoints interchange — and ULP-level-equivalent outputs/grads;
+    # remat recomputation is not bit-guaranteed) and rejects forced-Pallas
+    # configs.
     mp_remat: bool = False
 
     @nn.compact

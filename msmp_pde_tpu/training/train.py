@@ -367,8 +367,10 @@ def build_parser():
                    help="rematerialize each MP layer in the backward "
                         "(recompute per-edge intermediates instead of "
                         "stashing them) — the HBM lever for wide hidden "
-                        "sizes; forces the XLA layer math (exact same "
-                        "params/outputs, parity-tested)")
+                        "sizes; forces the XLA layer math (same param "
+                        "tree, checkpoints interchange; outputs/grads "
+                        "numerically equivalent at f32 ULP level — remat "
+                        "recomputation is not bit-guaranteed)")
     return p
 
 
