@@ -28,7 +28,8 @@ V5E_PEAK_F32_FLOPS = 49.2e12
 V5E_HBM_BW = 819e9  # bytes/s
 
 
-def make_trainer(hidden: int, mp_impl: str, nx=100, tw=25, n_layers=6):
+def make_trainer(hidden: int, mp_impl: str, nx=100, tw=25, n_layers=6,
+                 mp_remat=False):
     import jax.numpy as jnp
 
     from msmp_pde_tpu.data.graph import GraphSpec, build_neighbors_radius
@@ -47,11 +48,12 @@ def make_trainer(hidden: int, mp_impl: str, nx=100, tw=25, n_layers=6):
     # MSMP-PDE config (encoder=lem, gate=sigmoid) at an overridden width.
     model = MPSolver(tw=tw, hidden=hidden, layers=n_layers, encoder="lem",
                      gate="sigmoid", L=16.0, tmax=4.0, dt=spec.dt,
-                     mp_impl=mp_impl)
+                     mp_impl=mp_impl, mp_remat=mp_remat)
     return Trainer(model=model, kind="graph", spec=spec, eq_norms={})
 
 
-def bench_config(hidden: int, B: int, n_steps=64, n_passes=3):
+def bench_config(hidden: int, B: int, n_steps=64, n_passes=3,
+                 mp_remat=False):
     import jax
     import jax.numpy as jnp
 
@@ -66,7 +68,7 @@ def bench_config(hidden: int, B: int, n_steps=64, n_passes=3):
         flags = jnp.asarray(rng.integers(0, 2, n_steps), jnp.int32)
         return idx, steps, flags
 
-    trainer = make_trainer(hidden, "auto")
+    trainer = make_trainer(hidden, "auto", mp_remat=mp_remat)
     params = trainer.init_params(jax.random.PRNGKey(0), batch_size=B)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     tx = trainer.make_optimizer(1e-4, 0.4, [1, 5, 10, 15], 10**6)
@@ -114,6 +116,7 @@ def bench_config(hidden: int, B: int, n_steps=64, n_passes=3):
         print(f"# cost_analysis unavailable at hidden={hidden}: {e!r}",
               file=sys.stderr, flush=True)
 
+    tag = " remat" if mp_remat else ""
     if flops_per_step:
         sustained = flops_per_step / (ms_per_step / 1e3)
         mfu_bf16 = 100.0 * sustained / V5E_PEAK_BF16_FLOPS
@@ -121,13 +124,13 @@ def bench_config(hidden: int, B: int, n_steps=64, n_passes=3):
         gf = flops_per_step / 1e9
         gb = (bytes_per_step or 0.0) / 1e9
         hbm = 100.0 * (bytes_per_step or 0.0) / (ms_per_step / 1e3) / V5E_HBM_BW
-        print(f"hidden={hidden:4d} B={B:4d} params={n_params/1e6:6.2f}M | "
+        print(f"hidden={hidden:4d} B={B:4d}{tag} params={n_params/1e6:6.2f}M | "
               f"compile {compile_s:5.1f}s | {ms_per_step:8.3f} ms/step | "
               f"{sps:8.0f} samples/s | {gf:8.2f} GFLOP/step | "
               f"MFU {mfu_bf16:5.2f}% bf16 / {mfu_f32:5.2f}% f32 | "
               f"{gb:6.2f} GB/step HBM {hbm:5.1f}%", flush=True)
     else:
-        print(f"hidden={hidden:4d} B={B:4d} params={n_params/1e6:6.2f}M | "
+        print(f"hidden={hidden:4d} B={B:4d}{tag} params={n_params/1e6:6.2f}M | "
               f"compile {compile_s:5.1f}s | {ms_per_step:8.3f} ms/step | "
               f"{sps:8.0f} samples/s | FLOPs n/a", flush=True)
 
@@ -136,13 +139,22 @@ def main():
     import jax
 
     print("backend:", jax.default_backend(), flush=True)
-    # (hidden, B): reference config first, then width scaling at a batch
-    # large enough that per-core work isn't trivially small, then the
-    # biggest config that still fits HBM comfortably.
-    for hidden, B in ((128, 16), (128, 64), (256, 64), (512, 64),
-                      (512, 256)):
+    if "--mp_remat" in sys.argv:
+        # PERF.md §4: fire the HBM lever at the exact shape it was built
+        # for — the hidden=512 boundary where the plain backward OOMs —
+        # plus hidden=256 under remat for a like-for-like MFU comparison
+        # against the plain path's 49.9% f32 figure.
+        configs = ((256, 64), (512, 64), (512, 256))
+        remat = True
+    else:
+        # (hidden, B): reference config first, then width scaling at a
+        # batch large enough that per-core work isn't trivially small,
+        # then the biggest config that still fits HBM comfortably.
+        configs = ((128, 16), (128, 64), (256, 64), (512, 64), (512, 256))
+        remat = False
+    for hidden, B in configs:
         try:
-            bench_config(hidden, B)
+            bench_config(hidden, B, mp_remat=remat)
         except Exception as e:  # noqa: BLE001 — a config that OOMs HBM is
             # itself a sweep datum, not a sweep failure (observed: the
             # hidden=512 backward's f32[B*nx(4),3H] temps exhaust the 16 GB
