@@ -151,6 +151,7 @@ def main(remaining=None, cached=None):
     if remaining is None:
         remaining = lambda: float("inf")
     cached_result = (cached or {}).get("result", {})
+    _MILESTONE[0] = "jax imported, backend up"
 
     B, nx, nt, tw = 16, 100, 250, 25
     trainer = _make_trainer(tw=tw, nx=nx, n_layers=6)
@@ -159,7 +160,9 @@ def main(remaining=None, cached=None):
     u_all = jnp.asarray(rng.normal(size=(256, nt, nx)).astype(np.float32))
     var_all = {}
 
+    _MILESTONE[0] = "trainer built (tracing next)"
     params = trainer.init_params(jax.random.PRNGKey(0), batch_size=B)
+    _MILESTONE[0] = "params initialized (train-pass compile next)"
     tx = trainer.make_optimizer(1e-4, 0.4, [1, 5, 10, 15], 10**6)
     opt_state = tx.init(params)
     # the production path: a whole loader pass (scan of optimizer steps with
