@@ -25,7 +25,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def make_pass(mp_remat: bool):
+def make_pass(mp_remat: bool, hidden: int):
     import jax
     import jax.numpy as jnp
 
@@ -42,10 +42,13 @@ def make_pass(mp_remat: bool):
         t_grid=jnp.linspace(0.0, 4.0, nt, dtype=jnp.float32),
         L=16.0, tmax=4.0, dt=4.0 / (nt - 1),
     )
-    model = MPSolver(tw=tw, hidden=128, layers=6, encoder="lem",
+    # both arms use mp_impl="auto": the plain arm resolves to the fused
+    # Pallas pair kernels on TPU, the remat arm to the XLA layer path
+    # (mp_remat composes only with XLA layer math) — i.e. this A/Bs the
+    # PRODUCTION alternatives, not just the stash policy
+    model = MPSolver(tw=tw, hidden=hidden, layers=6, encoder="lem",
                      gate="sigmoid", L=16.0, tmax=4.0, dt=spec.dt,
-                     mp_impl="auto" if not mp_remat else "auto",
-                     mp_remat=mp_remat)
+                     mp_impl="auto", mp_remat=mp_remat)
     return Trainer(model=model, kind="graph", spec=spec, eq_norms={})
 
 
@@ -53,8 +56,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    print("backend:", jax.default_backend(), flush=True)
-    B, nx, nt, tw = 16, 100, 250, 25
+    hidden = int(sys.argv[sys.argv.index("--hidden") + 1]) \
+        if "--hidden" in sys.argv else 128
+    B = int(sys.argv[sys.argv.index("--batch") + 1]) \
+        if "--batch" in sys.argv else 16
+    print("backend:", jax.default_backend(),
+          f"hidden={hidden} B={B}", flush=True)
+    nx, nt, tw = 100, 250, 25
     n_steps, n_passes, n_reps = 64, 2, 3
     rng = np.random.default_rng(0)
     u_all = jnp.asarray(rng.normal(size=(256, nt, nx)).astype(np.float32))
@@ -68,7 +76,7 @@ def main():
 
     arms = {}
     for name, remat in (("plain", False), ("remat", True)):
-        tr = make_pass(remat)
+        tr = make_pass(remat, hidden)
         params = tr.init_params(jax.random.PRNGKey(0), batch_size=B)
         tx = tr.make_optimizer(1e-4, 0.4, [1, 5, 10, 15], 10**6)
         fn = tr.train_pass_fn(tx, max_unroll=1)
