@@ -82,7 +82,9 @@ def main():
         fn = tr.train_pass_fn(tx, max_unroll=1)
         st = tx.init(params)
         t0 = time.perf_counter()
-        p, s, losses = fn(params, st, u_all, {}, *pass_inputs())
+        # train_pass_fn donates params/opt_state — keep the RETURNED
+        # buffers, the inputs are dead after this call
+        params, st, losses = fn(params, st, u_all, {}, *pass_inputs())
         losses.block_until_ready()
         print(f"{name}: compiled+warm in {time.perf_counter()-t0:.1f}s",
               flush=True)
@@ -106,6 +108,7 @@ def main():
                     params, st, losses = fn(params, st, u_all, {}, *inp)
                 losses.block_until_ready()
                 dt = time.perf_counter() - t0
+                arms[name] = (fn, params, st)  # inputs were donated
                 ms = 1000 * dt / (n_passes * n_steps)
                 times[name].append(ms)
                 print(f"rep {rep} {name}: {ms:.3f} ms/step", flush=True)

@@ -194,6 +194,24 @@ def grad_gate(g, idx, mask):
     return jnp.tanh((d2 * mask[None, :, :, None]).sum(2) / deg[None, :, None])
 
 
+def _auto_remat_policy(mp_remat, ega, mp_impl, layer_type, mp_inference):
+    """Whether the MP layers run through nn.remat (round-5 auto policy).
+
+    Explicit mp_remat always wins. Otherwise, when mp_impl="auto" on TPU
+    lands on the XLA layer path because the Pallas working set exceeds
+    VMEM (ega is None at hidden>=256 for E1-like shapes), the per-edge
+    stash traffic is exactly what the Pallas kernels would have removed —
+    recomputing it is measured faster (17.99 vs 28.94 ms/step at
+    hidden=256, artifacts/bench_mfu_remat.log) and unlocks hidden=512
+    (the plain backward OOMs the 16 GB v5e). Forced mp_impl="xla" opts
+    out; inference never lowers a backward, so the policy stays off there.
+    """
+    if mp_remat:
+        return True
+    return (ega is None and mp_impl == "auto" and layer_type == "mp"
+            and not mp_inference and jax.default_backend() == "tpu")
+
+
 class MPSolver(nn.Module):
     """Configurable encode-process-decode MP-PDE solver.
 
@@ -312,8 +330,10 @@ class MPSolver(nn.Module):
         # mp_remat — so every lifted call passes arrays/None only). The
         # transform preserves param names (gnn_i/gate_i): checkpoints are
         # interchangeable with the plain path.
-        mp_cls = nn.remat(GNNLayer) if self.mp_remat else GNNLayer
-        gat_cls = nn.remat(GATLayer) if self.mp_remat else GATLayer
+        mp_remat = _auto_remat_policy(self.mp_remat, ega, self.mp_impl,
+                                      self.layer_type, self.mp_inference)
+        mp_cls = nn.remat(GNNLayer) if mp_remat else GNNLayer
+        gat_cls = nn.remat(GATLayer) if mp_remat else GATLayer
         for i in range(self.layers):
             if self.layer_type == "gat":
                 layer = gat_cls(hidden=self.hidden, name=f"gnn_{i}")

@@ -370,7 +370,10 @@ def build_parser():
                         "sizes; forces the XLA layer math (same param "
                         "tree, checkpoints interchange; outputs/grads "
                         "numerically equivalent at f32 ULP level — remat "
-                        "recomputation is not bit-guaranteed)")
+                        "recomputation is not bit-guaranteed). NOTE: "
+                        "mp_impl=auto on TPU engages remat by itself "
+                        "whenever the Pallas working set exceeds VMEM "
+                        "(hidden>=256); mp_impl=xla opts out")
     return p
 
 

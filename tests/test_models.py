@@ -394,3 +394,65 @@ class TestMPRemat:
         args = _graph_inputs(1)
         with pytest.raises(ValueError, match="mp_remat"):
             model.init(jax.random.PRNGKey(0), *args)
+
+    @pytest.mark.parametrize("mp_remat,ega,mp_impl,layer_type,inference,expected", [
+        # explicit flag always wins
+        (True, None, "xla", "mp", False, True),
+        # the round-5 auto case: auto + Pallas-infeasible (ega None) on TPU
+        (False, None, "auto", "mp", False, True),
+        # Pallas feasible (ega present) -> fused kernels, no remat
+        (False, ("mats", False, "float32"), "auto", "mp", False, False),
+        # forced xla opts out
+        (False, None, "xla", "mp", False, False),
+        # inference lowers no backward
+        (False, None, "auto", "mp", True, False),
+        # gat layers have no Pallas path; ega None there is not "infeasible"
+        (False, None, "auto", "gat", False, False),
+    ])
+    def test_auto_remat_policy_predicate(self, monkeypatch, mp_remat, ega,
+                                         mp_impl, layer_type, inference,
+                                         expected):
+        import msmp_pde_tpu.models.gnn as gnn_mod
+
+        monkeypatch.setattr(gnn_mod.jax, "default_backend", lambda: "tpu")
+        got = gnn_mod._auto_remat_policy(mp_remat, ega, mp_impl, layer_type,
+                                         inference)
+        assert got is expected
+        if not mp_remat:
+            # off-TPU the auto policy must never fire (CPU tests keep the
+            # plain path)
+            monkeypatch.setattr(gnn_mod.jax, "default_backend",
+                                lambda: "cpu")
+            assert gnn_mod._auto_remat_policy(
+                mp_remat, ega, mp_impl, layer_type, inference) is False
+
+    def test_auto_remat_engages_at_infeasible_width(self, monkeypatch):
+        """Integration: at a Pallas-infeasible width (hidden=512 at the
+        test's nx=40/B=2 shapes — production hits this at hidden=256 for
+        E1's nx=100/B=16) with mp_impl=auto on a (monkeypatched) TPU
+        backend, the grad jaxpr carries MORE remat scopes than the
+        forced-xla lowering of the same model — the MP layers got lifted
+        through nn.remat. Trace-only (eval_shape + make_jaxpr): nothing
+        Pallas is lowered, so this runs on CPU."""
+        import msmp_pde_tpu.models.gnn as gnn_mod
+
+        monkeypatch.setattr(gnn_mod.jax, "default_backend", lambda: "tpu")
+        eq = EQ_1D
+        args = _graph_inputs(1)
+        from msmp_pde_tpu.models.gnn import MPSolver
+
+        counts = {}
+        for impl in ("auto", "xla"):
+            model = MPSolver(tw=TW, hidden=512, layers=6, encoder="lem",
+                             gate="sigmoid", L=L, tmax=TMAX, dt=DT,
+                             mp_impl=impl)
+            params = jax.eval_shape(
+                lambda m=model: m.init(jax.random.PRNGKey(0), *args))
+
+            def loss(p, m=model):
+                out, _ = m.apply(p, *args)
+                return (out ** 2).mean()
+
+            counts[impl] = str(jax.make_jaxpr(jax.grad(loss))(params)
+                               ).count("remat")
+        assert counts["auto"] > counts["xla"], counts
