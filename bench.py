@@ -85,10 +85,13 @@ V5E_HBM_BW = 819e9  # bytes/s
 TORCH_REF_DATAGEN_SAMPLES_PER_SEC_MEASURED = 2304 / 1077.7
 
 
-def bench_datagen_e1(n_chunks: int = 2, B: int = 16) -> float:
+def bench_datagen_e1(n_chunks: int = 4, B: int = 16) -> float:
     """Our E1 datagen throughput on the current backend: adaptive
     WENO5+Dopri45 solves at both training resolutions, batched per chunk
-    (mirrors msmp_pde_tpu.datagen.generate::generate_ce)."""
+    (mirrors msmp_pde_tpu.datagen.generate::generate_ce). Steady-state
+    device throughput: compiles AND the eager IC-draw path are warmed
+    before the timer (end-to-end full-run numbers incl. HDF5 writes are
+    the RESULTS.md datagen wall-clock table)."""
     import jax
     import jax.numpy as jnp
 
@@ -125,9 +128,19 @@ def bench_datagen_e1(n_chunks: int = 2, B: int = 16) -> float:
         return ics.sample_sine_params(key, B, pde0.n_waves, pde0.lmin,
                                       pde0.lmax)
 
-    # warmup/compile
+    # warmup/compile — including the eager IC-sampling path: the first
+    # jax.random.split/sample call in a process triggers per-op remote
+    # compiles (~1 s through the tunnel) which used to land INSIDE the
+    # timed region and dwarf the ~190 ms of actual solve time. That is
+    # what the historical 31.2 (r2) and 25.3 (r4) captures measured —
+    # the drift between them was remote eager-compile latency noise,
+    # not a datagen regression (probe: experiments/datagen_drift_probe*.py;
+    # steady-state solves are ~60-110 ms per 16-sample chunk-pair).
     for s in solvers:
         s(*draw(key)).block_until_ready()
+    key, k = jax.random.split(key)
+    for a in draw(k):
+        a.block_until_ready()
     t0 = time.perf_counter()
     for i in range(n_chunks):
         key, k = jax.random.split(key)
@@ -308,7 +321,11 @@ def main(remaining=None, cached=None):
         "datagen_vs_torch_ref_provenance": (
             "MEASURED: our E1 datagen samples/s on one chip divided by the "
             "unmodified torch reference's datagen samples/s measured on "
-            "this host (experiments/torchref_e1.py) — no estimates."
+            "this host (experiments/torchref_e1.py) — no estimates. Ours "
+            "is steady-state solve throughput (compiles + eager IC draws "
+            "warmed; captures before 2026-08-19 included ~1 s of one-time "
+            "remote eager-op compiles in the timed window, reading 25-31); "
+            "the torch number amortizes its overheads over 2304 samples."
         ),
         "datagen_e1_samples_per_sec_chip": (round(datagen_sps, 2)
                                             if datagen_sps else None),
