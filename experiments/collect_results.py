@@ -93,6 +93,13 @@ RUNS = {
     "train_E1_MPPDE_s0.log": ("E1", "MP-PDE", "s0 base, fresh TPU-f32 data"),
     "train_MSWG3_MSMP2D_s0.log": ("MSWG3", "MSMP-PDE2D", "s0 base, fresh TPU-f32 data"),
     "train_MSWG3_MSG2_s0.log": ("MSWG3", "MSG2-PDE2D", "s0 base, fresh TPU-f32 data"),
+    # round-5 queue: KS cross-data interchange pair (VERDICT r4 #5) —
+    # matched 128/16/16 sample budget (the torch-reference KS regen is
+    # CPU-bound; 2048 samples is ~days), 20 epochs, short_horizon_windows=2.
+    # Full-horizon rel-L2 saturates ~90% by chaos; the comparable number is
+    # the short-horizon metric carried in the note.
+    "train_KS_torchref.log": ("KS", "MSMP-PDE", "trained on torch-reference-generated data (128-sample matched budget); chaotic full-horizon — short-horizon (2 windows) 34.88%"),
+    "train_KS_s128.log": ("KS", "MSMP-PDE", "own-data 128-sample control for the torch-data row; short-horizon (2 windows) 33.31%"),
 }
 
 TASK_ORDER = ["E1", "E2", "E3", "kdv", "WE1", "WE2", "WE3", "KF", "KS",
@@ -185,7 +192,12 @@ def harvest(log_dir="experiments/log"):
             r"\*Test\*\nL2 error [\d.e+-]+\nL2 relative error ([\d.]+) %",
             txt,
         )
-        if pairs and "Saved model at" in txt:
+        # a footerless log still being written (mtime < 30 min) is an
+        # in-flight run, not a cut one — list it as pending instead of
+        # publishing a misleading "cut" row
+        import time
+        in_flight = time.time() - os.path.getmtime(f) < 1800
+        if pairs and "Saved model at" in txt and not in_flight:
             task, model, note = meta
             note = (note + "; " if note else "") + \
                 "best-val checkpoint metrics — run cut before completion"
