@@ -17,13 +17,23 @@ from bench_pallas import bench_impl  # noqa: E402
 
 
 def main():
+    import argparse
+
     import jax
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tw", type=int, default=25,
+                    help="temporal-bundling window (25 = headline E1 "
+                         "config; 50 = the kdv config where the carry "
+                         "stash is 2x and chunking is predicted to win)")
+    args = ap.parse_args()
     print("backend:", jax.default_backend(), jax.devices())
+    print(f"tw={args.tw}")
     r = {}
     for lem in ("nohoist_remat", "nohoist_chunked",
                 "nohoist_remat", "nohoist_chunked"):  # ABAB: expose drift
-        r.setdefault(lem, []).append(bench_impl("pallas_pair", lem_impl=lem))
+        r.setdefault(lem, []).append(
+            bench_impl("pallas_pair", tw=args.tw, lem_impl=lem))
     a, b = max(r["nohoist_remat"]), max(r["nohoist_chunked"])
     print(f"nohoist_remat best {a:.0f} samples/s | nohoist_chunked best "
           f"{b:.0f} samples/s | ratio {b / a:.3f}x")
