@@ -48,8 +48,9 @@ class LEM(nn.Module):
     HBM-bound regime, PERF.md §2), "nohoist_chunked" (sqrt-style: carries
     saved only at chunk boundaries, C = divisor of T nearest sqrt(T),
     shrinking the carry stash ~C× for one extra chunk-forward of
-    recompute), or "auto". Exact parity asserted in
-    tests/test_lem_pallas.py."""
+    recompute; measured a tie at tw=25 and 0.955× at tw=50 — nohoist_remat
+    wins at both production configs, PERF.md §2), or "auto". Exact parity
+    asserted in tests/test_lem_pallas.py."""
 
     hidden: int
     dt: float = 1.0
