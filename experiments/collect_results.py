@@ -64,7 +64,7 @@ RUNS = {
     "train_MSWG_BaseCNN2D.log": ("MSWG", "BaseCNN2D", ""),
     "train_MSWG_FNO2D.log": ("MSWG", "FNO2D", ""),
     "train_MSWG3.log": ("MSWG3", "MSMP-PDE2D", ""),
-    "train_MSWG3_MSG2.log": ("MSWG3", "MSG2-PDE2D", "gradient gate (best MSWG3)"),
+    "train_MSWG3_MSG2.log": ("MSWG3", "MSG2-PDE2D", "gradient gate"),
     "train_MSWG3_GLEM.log": ("MSWG3", "GLEMGated2D", "attention path (upstream dead code)"),
     "train_MSWG3_MPPDE2D.log": ("MSWG3", "MP-PDE2D", "plain-MP 2D ablation baseline"),
     "train_MSWG3_Gated2D.log": ("MSWG3", "Gated2D", "gate, no temporal encoder"),
@@ -100,6 +100,13 @@ RUNS = {
     # the short-horizon metric carried in the note.
     "train_KS_torchref.log": ("KS", "MSMP-PDE", "trained on torch-reference-generated data (128-sample matched budget); chaotic full-horizon — short-horizon (2 windows) 34.88%"),
     "train_KS_s128.log": ("KS", "MSMP-PDE", "own-data 128-sample control for the torch-data row; short-horizon (2 windows) 33.31%"),
+    # round-5b accuracy queue (tpu_queue_r5b.sh): error bars for the best
+    # single-seed claims + gate-only variants on the hardest tasks
+    "train_MSWG3_Gated2D_s1.log": ("MSWG3", "Gated2D", "seed 1 (noise estimate)"),
+    "train_MSWG3_Gated2D_s2.log": ("MSWG3", "Gated2D", "seed 2 (noise estimate)"),
+    "train_kdv_Gated_tw50.log": ("kdv", "Gated", "tw=50, gate-only"),
+    "train_E3_Gated.log": ("E3", "Gated", "gate, no temporal encoder"),
+    "train_KS_Gated_20ep.log": ("KS", "Gated", "reference 20-epoch schedule; gate-only — see in-log short-horizon metric"),
 }
 
 TASK_ORDER = ["E1", "E2", "E3", "kdv", "WE1", "WE2", "WE3", "KF", "KS",
@@ -153,7 +160,9 @@ STATIC_ROWS = [
      6.74, 8.04, 43),
     ("MSWG", "MSMP-PDE2D", "", 0.83, 1.12, 35),
     ("MSWG", "BaseCNN2D", "", 6.17, 6.47, 5),
-    ("MSWG3", "MSG2-PDE2D", "gradient gate (best MSWG3)", 5.14, 4.52, 40),
+    # (the r3 "(best MSWG3)" tag is retired: Gated2D reads 3.87% — seed
+    # replicates for it land via tpu_queue_r5b.sh)
+    ("MSWG3", "MSG2-PDE2D", "gradient gate", 5.14, 4.52, 40),
     ("MSWG3", "MSMP-PDE2D", "trained on torch-reference-generated data",
      4.22, 5.09, 40),
     ("MSWG3", "GLEMGated2D", "attention path (upstream dead code)",
@@ -225,6 +234,9 @@ SEED_BASE = {
     ("E1", "MSMP-PDE"): "train_E1_MSMP_s0.log",
     ("MSWG3", "MSMP-PDE2D"): "train_MSWG3_MSMP2D_s0.log",
     ("MSWG3", "MSG2-PDE2D"): "train_MSWG3_MSG2_s0.log",
+    # Gated2D s0 = the r4g run (same fresh TPU-f32 data generation as the
+    # other MSWG3 bases — data/ was regenerated before any MSWG3 rerun)
+    ("MSWG3", "Gated2D"): "train_MSWG3_Gated2D.log",
 }
 
 
