@@ -107,6 +107,12 @@ RUNS = {
     "train_kdv_Gated_tw50.log": ("kdv", "Gated", "tw=50, gate-only"),
     "train_E3_Gated.log": ("E3", "Gated", "gate, no temporal encoder"),
     "train_KS_Gated_20ep.log": ("KS", "Gated", "reference 20-epoch schedule; gate-only — see in-log short-horizon metric"),
+    # round-5c: replicates for the surprise MSWG3 winner (MSGMP-PDE2D 2.85%)
+    "train_MSWG3_MSGMP2D_s1.log": ("MSWG3", "MSGMP-PDE2D", "seed 1 (noise estimate)"),
+    "train_MSWG3_MSGMP2D_s2.log": ("MSWG3", "MSGMP-PDE2D", "seed 2 (noise estimate)"),
+    # E1 GLU-decoder on the fresh TPU-f32 data (the 6.92% static row is
+    # r3-data; "seed" kept out of the note so no spread mixes provenance)
+    "train_E1_MSGMP_s1.log": ("E1", "MSGMP-PDE", "fresh TPU-f32 data replicate (s1)"),
 }
 
 TASK_ORDER = ["E1", "E2", "E3", "kdv", "WE1", "WE2", "WE3", "KF", "KS",
@@ -237,6 +243,8 @@ SEED_BASE = {
     # Gated2D s0 = the r4g run (same fresh TPU-f32 data generation as the
     # other MSWG3 bases — data/ was regenerated before any MSWG3 rerun)
     ("MSWG3", "Gated2D"): "train_MSWG3_Gated2D.log",
+    # MSGMP2D s0 = the r5 registry-completeness run (same fresh data)
+    ("MSWG3", "MSGMP-PDE2D"): "train_MSWG3_MSGMP2D.log",
 }
 
 
