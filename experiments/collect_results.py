@@ -158,8 +158,8 @@ STATIC_ROWS = [
     ("KF", "MSMP-PDE", "", 1.12, 0.76, 30),
     ("KS", "MSMP-PDE", "5-epoch checkpoint: full-horizon rel L2; "
      "short-horizon (2 Lyapunov times) = 15.8%", 76.98, 79.44, 14),
-    ("RPU", "FNO2DPU", "unstructured FNO; best-val checkpoint metrics — "
-     "run cut before completion", 1.75, 2.05, float("nan")),
+    # (the r3 FNO2DPU cut row — 2.05% best-val at the CPU-outage pace —
+    # is retired: the r5 on-chip run completed all 20 epochs at 2.07%)
     ("RPU", "MSMP-PDE2D", "interpolated *_I pipeline (r3); "
      "7.60% interpolated-back", 6.29, 6.88, 33),
     ("RPU", "MSMP-PDE2D", "direct on unstructured grid, 30 epochs",
