@@ -106,7 +106,7 @@ RUNS = {
     "train_MSWG3_Gated2D_s2.log": ("MSWG3", "Gated2D", "seed 2 (noise estimate)"),
     "train_kdv_Gated_tw50.log": ("kdv", "Gated", "tw=50, gate-only"),
     "train_E3_Gated.log": ("E3", "Gated", "gate, no temporal encoder"),
-    "train_KS_Gated_20ep.log": ("KS", "Gated", "reference 20-epoch schedule; gate-only — see in-log short-horizon metric"),
+    "train_KS_Gated_20ep.log": ("KS", "Gated", "reference 20-epoch schedule; gate-only; chaotic full-horizon — short-horizon (2 windows) 7.86% test"),
     # round-5c: replicates for the surprise MSWG3 winner (MSGMP-PDE2D 2.85%)
     "train_MSWG3_MSGMP2D_s1.log": ("MSWG3", "MSGMP-PDE2D", "seed 1 (noise estimate)"),
     "train_MSWG3_MSGMP2D_s2.log": ("MSWG3", "MSGMP-PDE2D", "seed 2 (noise estimate)"),
